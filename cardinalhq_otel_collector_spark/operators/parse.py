@@ -1,0 +1,110 @@
+"""S1 — vectorized regex / grok parsing of turn text into structured fields.
+
+The reference's parsing surface is the filelog/syslog receiver operators
+plus OTTL ``ExtractPatterns`` in the transformprocessor (manifest
+:54,:118,:266). Here, parsing is a **driver-side grok→regex compile once**,
+then pure ``F.regexp_extract`` columns — JVM-side, codegen'd, zero Python
+on the hot path (BASELINE.json input_hint: no per-row Python).
+
+Two APIs:
+
+- ``parse_keyvalue(df, fields)`` — logfmt-style ``k=v`` extraction with
+  typed casts, the workhorse for the transcript grok lines.
+- ``compile_grok(pattern)`` / ``parse_grok(df, pattern)`` — a minimal grok
+  dialect (``%{NAME:field}`` / ``%{NAME:field:type}``) compiled to a single
+  Java regex; fields extracted by group index.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_keyvalue", "compile_grok", "parse_grok", "GROK_PATTERNS"]
+
+# Minimal public grok pattern library (subset of the logstash-patterns set,
+# re-expressed as Java-compatible regexes).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "QUOTEDSTRING": r'"[^"]*"',
+    "LOGLEVEL": r"DEBUG|INFO|WARN|WARNING|ERROR|FATAL|TRACE",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+
+def parse_keyvalue(
+    df: DataFrame,
+    fields: dict[str, str],
+    text_col: str = "text",
+    prefix: str = "parsed_",
+) -> DataFrame:
+    """Extract logfmt-style ``key=value`` fields from ``text_col``.
+
+    ``fields`` maps field name → Spark cast type ("string", "int", ...).
+    Values may be bare tokens or double-quoted. Missing keys yield NULL
+    (empty extraction cast to non-string → NULL; empty string → NULL for
+    strings too, normalized with nullif).
+    """
+    out = df
+    for name, typ in fields.items():
+        pat = rf'(?:^|\s){re.escape(name)}=(?:"([^"]*)"|(\S+))'
+        quoted = F.regexp_extract(F.col(text_col), pat, 1)
+        bare = F.regexp_extract(F.col(text_col), pat, 2)
+        raw = F.nullif(F.when(quoted != "", quoted).otherwise(bare), F.lit(""))
+        col = raw if typ == "string" else raw.cast(typ)
+        out = out.withColumn(prefix + name, col)
+    return out
+
+
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str, int]]]:
+    """Compile a grok pattern to (java_regex, [(field, type, group_idx)]).
+
+    Group indices are 1-based positions of the capturing groups in the
+    compiled regex; unnamed grok tokens become non-capturing groups.
+    """
+    fields: list[tuple[str, str, int]] = []
+    group_counter = 0
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_TOKEN.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        base, field, typ = m.group(1), m.group(2), m.group(3)
+        if base not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{base}}}")
+        body = GROK_PATTERNS[base]
+        if field:
+            group_counter += 1
+            # Inner groups must be non-capturing already (they are, by
+            # construction of GROK_PATTERNS).
+            out.append(f"({body})")
+            fields.append((field, typ or "string", group_counter))
+        else:
+            out.append(f"(?:{body})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "".join(out), fields
+
+
+def parse_grok(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    prefix: str = "parsed_",
+) -> DataFrame:
+    """Apply a grok pattern: one ``regexp_extract`` per named field."""
+    regex, fields = compile_grok(pattern)
+    out = df
+    for field, typ, idx in fields:
+        raw = F.nullif(F.regexp_extract(F.col(text_col), regex, idx), F.lit(""))
+        out = out.withColumn(prefix + field, raw if typ == "string" else raw.cast(typ))
+    return out

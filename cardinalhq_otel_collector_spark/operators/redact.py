@@ -1,0 +1,66 @@
+"""S3 — PII redaction + attribute rewrite (redactionprocessor /
+transformprocessor / attributesprocessor analogues, manifest :258,:266,:239).
+
+Chained ``regexp_replace`` — pure JVM expressions. The pattern table is a
+config-level object (list of (name, regex, mask)); order matters (applied
+in sequence, like OTTL statement lists). ``has_pii`` is computed on the
+*pre-masked* text so routing can see it (the reference computes conditions
+before mutation within one OTTL statement context).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["DEFAULT_PII_PATTERNS", "redact", "rewrite_attributes"]
+
+# (name, java-regex, mask). Deliberately simple regex subset so the same
+# pattern is valid in Java (Spark) and RE2 (DuckDB oracle).
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("uuid", r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>"),
+    ("phone", r"\+?1?[-. ]?\(?\d{3}\)?[-. ]?\d{3,4}[-. ]?\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact(
+    df: DataFrame,
+    patterns: list[tuple[str, str, str]] | None = None,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    flag_col: str = "has_pii",
+) -> DataFrame:
+    """Mask PII in ``text_col`` → ``out_col``; flag rows that matched.
+
+    The original column is left untouched: the per-turn text-equality
+    invariant (body passthrough, body_marshaler.go:25-44) rides on the
+    original, sinks that require masking select ``out_col``.
+    """
+    patterns = DEFAULT_PII_PATTERNS if patterns is None else patterns
+    masked: Column = F.col(text_col)
+    matched: Column = F.lit(False)
+    for _, regex, mask in patterns:
+        matched = matched | F.col(text_col).rlike(regex)
+        masked = F.regexp_replace(masked, regex, mask)
+    return df.withColumn(flag_col, matched).withColumn(out_col, masked)
+
+
+def rewrite_attributes(
+    df: DataFrame,
+    set_attrs: dict[str, object] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> DataFrame:
+    """attributesprocessor insert/update/delete + schemaprocessor rename,
+    as plain column ops (attrs are promoted columns in our model —
+    SURVEY.md §1.3)."""
+    out = df
+    for k, v in (set_attrs or {}).items():
+        out = out.withColumn(k, v if isinstance(v, Column) else F.lit(v))
+    for old, new in (rename or {}).items():
+        out = out.withColumnRenamed(old, new)
+    if drop:
+        out = out.drop(*drop)
+    return out

@@ -1,0 +1,58 @@
+"""Sampling + dedup-count operators (SURVEY.md §2B):
+
+  probabilisticsamplerprocessor — hash-based p-sampling (manifest :257)
+  tailsamplingprocessor         — whole-conversation keep/drop (:265)
+  logdedupprocessor             — identical bodies per interval → count (:253)
+
+The probabilistic sampler must be **deterministic and cluster-size
+independent** (the reference hashes the trace id, not a RNG): we hash the
+key with md5 and threshold its first 8 hex chars — stable across engines,
+partitionings, and retries. No RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["probabilistic_sample", "tail_sample", "log_dedup"]
+
+
+def sample_bucket(key: Column, buckets: int = 1 << 32) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5(key)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+
+def probabilistic_sample(df: DataFrame, key_col: str, p: float) -> DataFrame:
+    """Keep ≈p of rows, decided by md5(key) — same key always same verdict."""
+    threshold = int(p * (1 << 32))
+    return df.filter(sample_bucket(F.col(key_col)) < threshold)
+
+
+def tail_sample(
+    df: DataFrame, group_col: str, keep_predicate: str,
+) -> DataFrame:
+    """Keep entire groups (conversations/traces) where ANY row satisfies the
+    policy predicate — decide after seeing the whole group, like tail
+    sampling buffers whole traces. One window max per group, no join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    flag = F.max(F.when(F.expr(keep_predicate), 1).otherwise(0)).over(w)
+    return df.withColumn("_keep", flag).filter(F.col("_keep") == 1).drop("_keep")
+
+
+def log_dedup(
+    df: DataFrame,
+    body_col: str = "text",
+    interval: str = "60 seconds",
+    ts_col: str = "ts",
+    extra_keys: list[str] = (),
+) -> DataFrame:
+    """Identical bodies within an interval collapse to one row + count."""
+    return (
+        df.groupBy(F.window(ts_col, interval).alias("w"), F.col(body_col), *extra_keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(ts_col).alias("first_ts"))
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )

@@ -1,0 +1,150 @@
+"""The end-to-end pipeline plan (SURVEY.md §7 north-star shape).
+
+Mirrors the reference's logs path (docs/flow/flow.dot:28-47):
+receivers → memory_limiter → chqdecorator → forward/* fan-out → per-sink
+chains, re-expressed as ONE declarative DataFrame plan:
+
+  S0 read → S1 parse → S2 fingerprint/cluster → S3 redact →
+  S4 enrich (broadcast) → S5 route → persist →
+  S6 fan-out write (single pass, partitioned by sink) →
+  S7 per-sink windowed aggregate counts →
+  S8 lineage commit (idempotent resume)
+
+Scale decisions baked in:
+  * the decorated/routed stream is persisted ONCE and reused by the
+    fan-out write and the aggregate write — the forward-connector
+    fan-out without recompute (SURVEY.md §4 "fan-out" row);
+  * the fan-out is one ``partitionBy("sink", p_date)`` write, not one
+    scan per sink (batchperresourceattr analogue, factory.go:93-101);
+  * optional salted repartition bounds file/partition size under hot
+    conversations (salting + AQE, north-rule skew obligation);
+  * aggregates are a single groupBy — Catalyst's partial+final hash agg
+    keeps the shuffle proportional to group cardinality, not row count.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..datagen import role_lookup, tool_lookup
+from ..operators.aggregate import interval_aggregate
+from ..operators.enrich import enrich
+from ..operators.fingerprint import fingerprint_and_cluster
+from ..operators.parse import parse_keyvalue
+from ..operators.redact import redact
+from ..operators.route import route
+from ..sources.catalog import Catalog, add_time_partitions
+from .lineage import LineageLog
+
+__all__ = ["decorate", "run_pipeline", "ROUTED_TABLE", "AGG_TABLE"]
+
+ROUTED_TABLE = "routed"
+AGG_TABLE = "sink_aggregates"
+
+STAGE_ROUTED = "routed_write"
+STAGE_AGG = "aggregates_write"
+
+
+def decorate(
+    transcripts: DataFrame,
+    config: PipelineConfig,
+    tools: DataFrame | None = None,
+    roles: DataFrame | None = None,
+) -> DataFrame:
+    """S1-S5: the chqdecorator-equivalent transform chain — one declarative
+    plan, all JVM expressions (the only collect is over distinct templates
+    in S2)."""
+    spark = transcripts.sparkSession
+    df = parse_keyvalue(transcripts, config.parse_fields)           # S1
+    df = fingerprint_and_cluster(df)                                # S2
+    df = redact(df, config.pii_patterns)                            # S3
+    df = enrich(df, tools if tools is not None else tool_lookup(spark), "tool",
+                fill_unknown={"tool_category": "unknown", "tool_owner": "unknown", "valid": False})  # S4
+    df = enrich(df, roles if roles is not None else role_lookup(spark), "role",
+                fill_unknown={"role_kind": "unknown"})
+    df = route(df, config.rules, default_sink=config.default_sink)  # S5
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: Catalog,
+    config: PipelineConfig | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    fail_after_stage: str | None = None,
+    tools: DataFrame | None = None,
+    roles: DataFrame | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns a summary dict.
+
+    Idempotence contract: sink tables are keyed by the pipeline identity,
+    not the run — a stage is (re)written atomically (overwrite) and its
+    completion recorded in ``_lineage`` keyed (run_id, stage, sink). A
+    resumed run skips stages already committed for that run_id, so a
+    mid-run crash + rerun converges to the same sink state as a clean run
+    (F5.7 golden; design.md:51 dedup contract).
+    """
+    from ..datagen import routing_rules
+
+    config = (config or PipelineConfig(rules=routing_rules())).validate()
+    run_id = run_id or uuid.uuid4().hex
+    lineage = LineageLog(catalog)
+    done = lineage.committed_stages(run_id) if resume else set()
+
+    decorated = decorate(transcripts, config, tools=tools, roles=roles)
+    if config.salt_partitions > 0:
+        # bound partition size under hot conversations: spread each conv's
+        # turns over salt buckets; sink stays the leading key so the
+        # partitioned write still clusters by sink.
+        decorated = decorated.repartition(
+            F.col("sink"),
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(config.salt_partitions)),
+        )
+    decorated = decorated.persist(StorageLevel.MEMORY_AND_DISK)
+
+    summary: dict = {"run_id": run_id, "stages_run": [], "stages_skipped": []}
+    try:
+        # ---- S6: single-pass fan-out write --------------------------------
+        if STAGE_ROUTED in done:
+            summary["stages_skipped"].append(STAGE_ROUTED)
+        else:
+            routed = add_time_partitions(decorated, granularity=config.partition_granularity)
+            part_cols = ["sink", "p_date"] + (
+                ["p_hour"] if config.partition_granularity in ("hour", "minute") else []
+            ) + (["p_minute"] if config.partition_granularity == "minute" else [])
+            catalog.write(routed, ROUTED_TABLE, partition_by=part_cols)
+            per_sink = [
+                (r["sink"], r["n"])
+                for r in catalog.read(ROUTED_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
+            ]
+            lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
+            summary["stages_run"].append(STAGE_ROUTED)
+        if fail_after_stage == STAGE_ROUTED:
+            raise RuntimeError("injected failure after routed_write")
+
+        # ---- S7: per-sink windowed aggregate counts ------------------------
+        if STAGE_AGG in done:
+            summary["stages_skipped"].append(STAGE_AGG)
+        else:
+            aggs = interval_aggregate(
+                decorated, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
+            )
+            catalog.write(aggs, AGG_TABLE, partition_by=["sink"])
+            per_sink = [
+                (r["sink"], r["n"])
+                for r in catalog.read(AGG_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
+            ]
+            lineage.commit_many(run_id, STAGE_AGG, per_sink)
+            summary["stages_run"].append(STAGE_AGG)
+        if fail_after_stage == STAGE_AGG:
+            raise RuntimeError("injected failure after aggregates_write")
+    finally:
+        decorated.unpersist()
+    return summary

@@ -1,0 +1,72 @@
+"""SparkSession construction for the pipeline.
+
+Single place that encodes the scale-oriented defaults: AQE on (runtime
+re-plan + skew-join splitting, the Spark answer to the reference having no
+optimizer at all — SURVEY.md §4), UTC session time (the reference defaults
+to *local* TZ for partition keys, `internal/upload/partition.go:81-85`; we
+pin UTC so partition keys are deterministic), Arrow enabled for the few
+pandas-UDF paths, and shuffle partitions sized to the local core count
+(overridable — on a real cluster you want 2-3× total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["build_spark", "stop_spark"]
+
+
+def build_spark(
+    app_name: str = "cardinalhq-otel-collector-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS (driver contract) else ``*``.
+    On a real cluster this function is still correct: ``master`` is only
+    forced when no master is configured externally (spark-submit wins).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores_str = env if env else "*"
+    else:
+        cores_str = str(cores)
+    n_cores = os.cpu_count() or 8 if cores_str == "*" else int(cores_str)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_cores)
+    if driver_mem is None:
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Respect an externally-provided master (spark-submit / cluster); only
+    # default to local[k] when none is set.
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in {
+        k for k, _ in (builder._options.items() if hasattr(builder, "_options") else [])
+    }:
+        builder = builder.master(f"local[{cores_str}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark(spark: SparkSession) -> None:
+    spark.stop()
