@@ -51,38 +51,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("template", tpl).withColumn("fingerprint", F.xxhash64(tpl))
 
 
-def _minhash_bands(templates: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
-    """Char-trigram MinHash signatures over distinct templates.
+def _minhash_bands_py(template: str, n_hashes: int, band_size: int) -> list[str]:
+    """Char-trigram MinHash band keys for one template (driver-side).
 
-    Trigrams via sequence+transform (no UDF); each of the ``n_hashes``
-    hash functions is md5(seed || trigram), minimized lexicographically —
-    deterministic, engine-portable. Bands of ``band_size`` consecutive
-    hashes concatenated → LSH bucket keys.
+    Each of the ``n_hashes`` hash functions is md5(seed || trigram),
+    minimized lexicographically; bands of ``band_size`` consecutive hashes
+    concatenated → LSH bucket keys. Plain Python by design: this runs on
+    the *distinct-template* set only (already collected for union-find),
+    never on the row stream. A first cut used Spark higher-order functions
+    here, but stacked ``F.transform`` lambdas corrupted each other when
+    Catalyst collapsed projections (session-state-dependent lambda-variable
+    capture observed on PySpark 4.1), so pass 2 is deliberately
+    driver-side and exactly as deterministic as the template set.
     """
-    t = templates.withColumn(
-        "grams",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("template") - 2, F.lit(1))),
-                lambda i: F.col("template").substr(i, F.lit(3)),
-            )
-        ),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("grams"), lambda g, s=s: F.md5(F.concat(F.lit(str(s) + "|"), g)))
-        ).alias(f"h{s}")
+    import hashlib
+
+    grams = {template[i : i + 3] for i in range(max(len(template) - 2, 1))}
+    sig = [
+        min(hashlib.md5((f"{s}|" + g).encode("utf-8")).hexdigest() for g in grams)
         for s in range(n_hashes)
     ]
-    sig = t.select("template", "fingerprint", *sig_cols)
     n_bands = n_hashes // band_size
-    band_cols = [
-        F.concat_ws("#", F.lit(str(b)), *[F.col(f"h{b * band_size + j}") for j in range(band_size)]).alias(
-            f"band{b}"
-        )
+    return [
+        "#".join([str(b)] + sig[b * band_size : (b + 1) * band_size])
         for b in range(n_bands)
     ]
-    return sig.select("template", "fingerprint", F.array(*band_cols).alias("bands"))
 
 
 def cluster_templates(
@@ -94,8 +87,11 @@ def cluster_templates(
     resolved by union-find on the driver; cluster_id = min fingerprint in
     the cluster (order-independent, stable).
     """
-    banded = _minhash_bands(templates, n_hashes, band_size)
-    rows = banded.select("fingerprint", "bands").collect()  # distinct templates only — tiny
+    rows = [
+        {"fingerprint": r["fingerprint"],
+         "bands": _minhash_bands_py(r["template"], n_hashes, band_size)}
+        for r in templates.select("template", "fingerprint").collect()
+    ]  # distinct templates only — tiny
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

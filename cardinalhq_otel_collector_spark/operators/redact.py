@@ -20,7 +20,7 @@ __all__ = ["DEFAULT_PII_PATTERNS", "redact", "rewrite_attributes"]
 DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("uuid", r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>"),
-    ("phone", r"\+?1?[-. ]?\(?\d{3}\)?[-. ]?\d{3,4}[-. ]?\d{4}", "<PHONE>"),
+    ("phone", r"\+?1[-. ]\(?\d{3}\)?[-. ]\d{3,4}(?:[-. ]\d{4})?", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

@@ -1,0 +1,72 @@
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.aggregate import (
+    aggregate_with_override,
+    interval_aggregate,
+    split_by_flag,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_rollup_golden_1_2_3_makes_6(spark):
+    """The reference's aggregation golden: 3 sum-dps (1,2,3) same tags in one
+    10s interval -> exactly one emitted dp with value 6.0
+    (processor/aggregationprocessor/metrics_test.go:70-116)."""
+    df = spark.createDataFrame(
+        [
+            ("m", "svc", _ts("2026-01-01 00:00:01"), 1.0, "sum"),
+            ("m", "svc", _ts("2026-01-01 00:00:04"), 2.0, "sum"),
+            ("m", "svc", _ts("2026-01-01 00:00:09"), 3.0, "sum"),
+        ],
+        "name string, tag string, ts timestamp, value double, agg_type string",
+    )
+    out = aggregate_with_override(
+        df, keys=["name", "tag"], value_col="value", agg_type_col="agg_type",
+        interval="10 seconds",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["value"] == 6.0 and r["n"] == 3 and r["agg_type"] == "sum"
+    # group-key timestamp = interval START (aggregate.go:64-67)
+    assert r["bucket_start"] == _ts("2026-01-01 00:00:00")
+
+
+def test_agg_type_override_min_max_avg(spark):
+    rows = [
+        ("a", _ts("2026-01-01 00:00:01"), 1.0, "min"),
+        ("a", _ts("2026-01-01 00:00:02"), 5.0, "min"),
+        ("b", _ts("2026-01-01 00:00:01"), 1.0, "max"),
+        ("b", _ts("2026-01-01 00:00:02"), 5.0, "max"),
+        ("c", _ts("2026-01-01 00:00:01"), 1.0, None),  # gauge default = avg
+        ("c", _ts("2026-01-01 00:00:02"), 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, "name string, ts timestamp, value double, agg_type string")
+    out = {r["name"]: r for r in aggregate_with_override(
+        df, keys=["name"], value_col="value", agg_type_col="agg_type", interval="10 seconds"
+    ).collect()}
+    assert out["a"]["value"] == 1.0 and out["a"]["agg_type"] == "min"
+    assert out["b"]["value"] == 5.0
+    assert out["c"]["value"] == 3.0 and out["c"]["agg_type"] == "avg"
+
+
+def test_interval_boundaries(spark):
+    df = spark.createDataFrame(
+        [("m", _ts("2026-01-01 00:00:09"), 1.0), ("m", _ts("2026-01-01 00:00:10"), 1.0)],
+        "name string, ts timestamp, value double",
+    )
+    out = interval_aggregate(df, keys=["name"], interval="10 seconds", value_col="value")
+    assert out.count() == 2  # 00:00:10 opens the next bucket
+
+
+def test_split_by_flag(spark):
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "id int, agg boolean"
+    )
+    to_agg, passthrough = split_by_flag(df, "agg")
+    assert [r["id"] for r in to_agg.collect()] == [1]
+    assert sorted(r["id"] for r in passthrough.collect()) == [2, 3]

@@ -1,0 +1,157 @@
+"""End-to-end pipeline goldens — the three north-rule invariants
+(BASELINE.md targets), checked against an independent pure-Python oracle
+over the same deterministic transcripts:
+
+  1. routed-row equality per sink
+  2. per-sink aggregate-count equality (conv_id × tool × hour bucket)
+  3. per-turn text equality under stable (conv_id, turn_idx) ordering
+
+plus the idempotent-resume golden (F5.7) and lineage consistency (F6).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.config import PipelineConfig
+from cardinalhq_otel_collector_spark.datagen import routing_rules, tool_lookup
+from cardinalhq_otel_collector_spark.operators.redact import DEFAULT_PII_PATTERNS
+from cardinalhq_otel_collector_spark.plans.lineage import LineageLog
+from cardinalhq_otel_collector_spark.plans.pipeline import (
+    AGG_TABLE,
+    ROUTED_TABLE,
+    run_pipeline,
+)
+
+_LEVEL_RE = re.compile(r'(?:^|\s)level=(?:"([^"]*)"|(\S+))')
+_PII_RES = [re.compile(p) for _, p, _ in DEFAULT_PII_PATTERNS]
+
+
+def oracle_route(rows, tool_cat: dict) -> dict:
+    """Pure-Python reference router: (conv_id, turn_idx) -> sink."""
+    out = {}
+    for r in rows:
+        m = _LEVEL_RE.search(r["text"])
+        level = (m.group(1) or m.group(2)) if m else None
+        cat = tool_cat.get(r["tool"], "unknown")
+        has_pii = any(p.search(r["text"]) for p in _PII_RES)
+        if level == "ERROR":
+            sink = "errors"
+        elif r["role"] == "tool" and cat == "search":
+            sink = "search_tools"
+        elif has_pii:
+            sink = "pii_archive"
+        else:
+            sink = "default"
+        out[(r["conv_id"], r["turn_idx"])] = sink
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_state(spark, transcripts_df, tmp_path_factory):
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    summary = run_pipeline(spark, transcripts_df, catalog, run_id="run-1")
+    return catalog, summary
+
+
+def test_invariant_1_routed_row_equality(spark, transcripts_df, pipeline_state):
+    catalog, _ = pipeline_state
+    rows = transcripts_df.collect()
+    tool_cat = {r["tool"]: r["tool_category"] for r in tool_lookup(spark).collect()}
+    expected = oracle_route(rows, tool_cat)
+
+    routed = catalog.read(ROUTED_TABLE).select("conv_id", "turn_idx", "sink").collect()
+    got = {(r["conv_id"], r["turn_idx"]): r["sink"] for r in routed}
+    assert len(routed) == len(rows)  # no dup, no loss
+    assert got == expected
+    assert set(got.values()) >= {"errors", "search_tools", "pii_archive", "default"}
+
+
+def test_invariant_2_aggregate_count_equality(spark, transcripts_df, pipeline_state):
+    catalog, _ = pipeline_state
+    rows = transcripts_df.collect()
+    tool_cat = {r["tool"]: r["tool_category"] for r in tool_lookup(spark).collect()}
+    sinks = oracle_route(rows, tool_cat)
+    expected = Counter(
+        (
+            sinks[(r["conv_id"], r["turn_idx"])],
+            r["conv_id"],
+            r["tool"],
+            r["ts"].replace(minute=0, second=0, microsecond=0),
+        )
+        for r in rows
+    )
+    got = {
+        (r["sink"], r["conv_id"], r["tool"], r["bucket_start"]): r["n"]
+        for r in catalog.read(AGG_TABLE).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_invariant_3_per_turn_text_equality(transcripts_df, pipeline_state):
+    catalog, _ = pipeline_state
+    src = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in transcripts_df.orderBy("conv_id", "turn_idx").collect()
+    ]
+    out = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in catalog.read(ROUTED_TABLE).orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert src == out  # byte-identical passthrough (body_marshaler.go:25-44)
+
+
+def test_lineage_consistency(pipeline_state):
+    catalog, summary = pipeline_state
+    lineage = LineageLog(catalog).read().filter(F.col("run_id") == "run-1")
+    per_sink = {
+        (r["stage"], r["sink"]): r["rows_out"] for r in lineage.collect()
+    }
+    table_counts = {
+        r["sink"]: r["n"]
+        for r in catalog.read(ROUTED_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    for sink, n in table_counts.items():
+        assert per_sink[("routed_write", sink)] == n
+
+
+def test_idempotent_resume(spark, transcripts_df, tmp_path, warehouse):
+    """Crash after the routed write, resume with the same run_id → final
+    state identical to a clean run; routed stage not re-executed."""
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, transcripts_df, warehouse, run_id="run-x",
+            fail_after_stage="routed_write",
+        )
+    # mid-run state: routed committed, aggregates absent
+    assert warehouse.exists(ROUTED_TABLE)
+    assert not warehouse.exists(AGG_TABLE)
+
+    summary = run_pipeline(spark, transcripts_df, warehouse, run_id="run-x", resume=True)
+    assert summary["stages_skipped"] == ["routed_write"]
+    assert summary["stages_run"] == ["aggregates_write"]
+
+    clean = Catalog(spark, str(tmp_path / "clean"))
+    run_pipeline(spark, transcripts_df, clean, run_id="run-y")
+    for table in (ROUTED_TABLE, AGG_TABLE):
+        a = sorted(map(tuple, warehouse.read(table).drop("p_date", "p_hour").collect()))
+        b = sorted(map(tuple, clean.read(table).drop("p_date", "p_hour").collect()))
+        assert a == b
+
+
+def test_rerun_same_run_id_is_noop(spark, transcripts_df, warehouse):
+    run_pipeline(spark, transcripts_df, warehouse, run_id="run-z")
+    before = sorted(map(tuple, warehouse.read(ROUTED_TABLE).collect()))
+    summary = run_pipeline(spark, transcripts_df, warehouse, run_id="run-z", resume=True)
+    assert summary["stages_run"] == []
+    after = sorted(map(tuple, warehouse.read(ROUTED_TABLE).collect()))
+    assert before == after

@@ -1,0 +1,52 @@
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.sampling import (
+    log_dedup,
+    probabilistic_sample,
+    tail_sample,
+)
+
+
+def test_probabilistic_sample_deterministic_and_unbiased(spark):
+    df = spark.range(0, 20000).withColumn("key", F.col("id").cast("string"))
+    a = probabilistic_sample(df, "key", 0.25)
+    b = probabilistic_sample(df.repartition(13), "key", 0.25)
+    ids_a = {r["id"] for r in a.collect()}
+    ids_b = {r["id"] for r in b.collect()}
+    assert ids_a == ids_b  # cluster-size / partitioning independent
+    assert abs(len(ids_a) / 20000 - 0.25) < 0.02
+
+
+def test_probabilistic_sample_subset_property(spark):
+    df = spark.range(0, 5000).withColumn("key", F.col("id").cast("string"))
+    p10 = {r["id"] for r in probabilistic_sample(df, "key", 0.10).collect()}
+    p50 = {r["id"] for r in probabilistic_sample(df, "key", 0.50).collect()}
+    assert p10 <= p50  # consistent sampling: smaller rate nests in larger
+
+
+def test_tail_sample_keeps_whole_groups(spark):
+    df = spark.createDataFrame(
+        [("c1", "ok"), ("c1", "error"), ("c2", "ok"), ("c2", "ok")],
+        "conv_id string, status string",
+    )
+    out = tail_sample(df, "conv_id", "status = 'error'")
+    rows = out.collect()
+    assert {r["conv_id"] for r in rows} == {"c1"}
+    assert len(rows) == 2  # both turns of c1 kept, incl. the non-matching one
+
+
+def test_log_dedup(spark):
+    t0 = datetime.fromisoformat("2026-01-01 00:00:05")
+    t1 = datetime.fromisoformat("2026-01-01 00:00:20")
+    t2 = datetime.fromisoformat("2026-01-01 00:02:00")
+    df = spark.createDataFrame(
+        [("dup line", t0), ("dup line", t1), ("dup line", t2), ("other", t0)],
+        "text string, ts timestamp",
+    )
+    out = log_dedup(df, interval="60 seconds")
+    got = {(r["text"], r["bucket_start"].minute): r["dup_count"] for r in out.collect()}
+    assert got[("dup line", 0)] == 2  # same body within the minute collapses
+    assert got[("dup line", 2)] == 1
+    assert got[("other", 0)] == 1
