@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the end-to-end transcript pipeline over a
+deterministically generated transcript table scaled to the sf, and prints
+ONE JSON line:
+
+  {"metric": "end_to_end_routed_turns_per_sec", "value": N, "unit": "...",
+   "queries": {...}, "sf": ...}
+
+Scaling mode (--scaling): re-executes the pipeline benchmark in two fresh
+subprocesses at different local[k] parallelism (default 8 and 32) over the
+SAME input size and reports throughput at both plus scaling efficiency
+(T_low/T_high)/(k_high/k_low) — the in-sandbox evidence for the N→4N
+executor scaling-efficiency ≥ 0.8 target (BASELINE.md). Results appended
+to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# entry queries timed in the default bench (names from __spark_entry__)
+BENCH_QUERIES = [
+    "pipeline_route_agg",
+    "interval_agg",
+    "delta_to_cumulative",
+    "group_by_conv",
+    "tpch_q1",
+    "template_mining",
+    "doc_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+# ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
+TURNS_PER_SF = 48_000_000
+AVG_TURNS_PER_CONV = 8.0
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _build(cores: int):
+    from cardinalhq_otel_collector_spark.session import build_spark
+
+    shuffle = max(8, 2 * cores)
+    return build_spark(
+        app_name=f"bench-local{cores}",
+        cores=cores,
+        shuffle_partitions=shuffle,
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+
+
+def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
+    """End-to-end: generate transcripts → decorate → fan-out write → aggs."""
+    from cardinalhq_otel_collector_spark.config import PipelineConfig
+    from cardinalhq_otel_collector_spark.datagen import routing_rules, transcripts
+    from cardinalhq_otel_collector_spark.plans.pipeline import run_pipeline
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    tmp = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        cfg = PipelineConfig(rules=routing_rules(), salt_partitions=2 * cores)
+        # untimed warm-up: JIT/codegen compile on a tiny run so the timed
+        # run measures steady-state throughput, not JVM warm-up
+        warm = transcripts(spark, n_convs=500, partitions=cores)
+        run_pipeline(spark, warm, Catalog(spark, tempfile.mkdtemp(prefix="bench_warm_")),
+                     config=cfg, run_id="warmup")
+
+        df = transcripts(spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
+                         partitions=4 * cores)
+        n_turns = df.count()
+        catalog = Catalog(spark, tmp)
+        t0 = time.perf_counter()
+        summary = run_pipeline(spark, df, catalog, config=cfg, run_id="bench")
+        elapsed = time.perf_counter() - t0
+        return {"n_turns": n_turns, "pipeline_sec": elapsed,
+                "turns_per_sec": n_turns / elapsed,
+                "stage_timings": summary.get("timings", {})}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_default(sf_dir: str, cores: int, skip_queries: bool = False) -> dict:
+    sf = _sf_from_dir(sf_dir)
+    n_convs = max(100, int(TURNS_PER_SF * sf / AVG_TURNS_PER_CONV))
+    spark = _build(cores)
+    try:
+        queries = {} if skip_queries else run_query_bench(spark, sf_dir)
+        pipe = run_pipeline_bench(spark, n_convs, cores)
+    finally:
+        spark.stop()
+    return {
+        "metric": "end_to_end_routed_turns_per_sec",
+        "value": round(pipe["turns_per_sec"], 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": sf,
+        "pipeline_sec": round(pipe["pipeline_sec"], 3),
+        "stage_timings": pipe.get("stage_timings", {}),
+        "n_turns": pipe["n_turns"],
+        "cores": cores,
+    }
+
+
+def main_scaling(sf_dir: str, low: int, high: int) -> dict:
+    results = {}
+    for cores in (low, high):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
+             "--cores", str(cores), "--pipeline-only"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t_low = results[low]["pipeline_sec"]
+    t_high = results[high]["pipeline_sec"]
+    eff = (t_low / t_high) / (high / low)
+    report = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"speedup/(cores ratio) local[{low}]->local[{high}]",
+        "throughput_low": results[low]["value"],
+        "throughput_high": results[high]["value"],
+        "n_turns": results[low]["n_turns"],
+        "sf": results[low]["sf"],
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"| parallelism | n_turns | pipeline sec | turns/sec |\n|---|---|---|---|\n"
+            f"| local[{low}] | {results[low]['n_turns']} | {t_low} | {results[low]['value']} |\n"
+            f"| local[{high}] | {results[high]['n_turns']} | {t_high} | {results[high]['value']} |\n\n"
+            f"Scaling efficiency (T_{low}/T_{high})/({high}/{low}) = **{eff:.3f}**"
+            f" (target ≥ 0.8 per BASELINE.json north rule).\n"
+        )
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    ap.add_argument("--pipeline-only", action="store_true",
+                    help="skip query timings (used by --scaling subprocesses)")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
+    else:
+        out = main_default(args.sf_dir, args.cores, skip_queries=args.pipeline_only)
+    print(json.dumps(out))

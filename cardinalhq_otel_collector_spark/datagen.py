@@ -121,10 +121,15 @@ def transcripts(
         "connection %d from host server-%d retry %d timeout %dms",
         num, F.pmod(hp, F.lit(40)), F.pmod(hp, F.lit(5)), latency,
     )
+    # Free text drawn from a bounded family (32 distinct phrases): log/
+    # transcript template cardinality is code-site-bounded in practice, and
+    # the two-pass clustering design (operators/fingerprint.py) relies on
+    # the distinct-template set staying small relative to row count.
+    t32 = F.pmod(hp, F.lit(32))
     free_text = F.concat_ws(
         " ",
-        _pick(_WORDS, hp, 11), _pick(_WORDS, hp, 13), _pick(_WORDS, hp, 17),
-        _pick(_WORDS, hp, 19), _pick(_WORDS, hp, 23),
+        _pick(_WORDS, t32, 11), _pick(_WORDS, t32 * 3, 13), _pick(_WORDS, t32 * 5, 17),
+        _pick(_WORDS, t32 * 7, 19), _pick(_WORDS, t32 * 11, 23),
     )
     text = (
         F.when(tmpl <= 2, grok_line)

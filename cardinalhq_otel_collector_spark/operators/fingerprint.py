@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mask_template", "fingerprint", "cluster_templates", "fingerprint_and_cluster"]
+__all__ = [
+    "mask_template",
+    "fingerprint",
+    "cluster_templates",
+    "attach_clusters",
+    "fingerprint_and_cluster",
+]
 
 _MASKS: list[tuple[str, str]] = [
     # uuid before hex before number — order matters.
@@ -123,9 +129,17 @@ def cluster_templates(
     return templates.join(F.broadcast(map_df), "fingerprint", "left")
 
 
+def attach_clusters(df: DataFrame) -> DataFrame:
+    """Given a frame that already has (template, fingerprint) columns
+    (pass 1), compute the cluster map from its distinct templates and
+    broadcast-join it back. Call this AFTER persisting the upstream frame:
+    the distinct-template scan then reads the cache instead of recomputing
+    the whole chain (the two-pass structure of SURVEY.md §7 step 5)."""
+    distinct = df.select("template", "fingerprint").distinct()
+    clustered = cluster_templates(distinct).select("fingerprint", "cluster_id").distinct()
+    return df.join(F.broadcast(clustered), "fingerprint", "left")
+
+
 def fingerprint_and_cluster(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full S2: rows → + template, fingerprint, cluster_id."""
-    fp = fingerprint(df, text_col)
-    distinct = fp.select("template", "fingerprint").distinct()
-    clustered = cluster_templates(distinct).select("fingerprint", "cluster_id").distinct()
-    return fp.join(F.broadcast(clustered), "fingerprint", "left")
+    return attach_clusters(fingerprint(df, text_col))

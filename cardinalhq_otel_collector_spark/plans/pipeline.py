@@ -34,7 +34,7 @@ from ..config import PipelineConfig
 from ..datagen import role_lookup, tool_lookup
 from ..operators.aggregate import interval_aggregate
 from ..operators.enrich import enrich
-from ..operators.fingerprint import fingerprint_and_cluster
+from ..operators.fingerprint import attach_clusters, fingerprint
 from ..operators.parse import parse_keyvalue
 from ..operators.redact import redact
 from ..operators.route import route
@@ -55,13 +55,22 @@ def decorate(
     config: PipelineConfig,
     tools: DataFrame | None = None,
     roles: DataFrame | None = None,
+    cluster: bool = True,
 ) -> DataFrame:
     """S1-S5: the chqdecorator-equivalent transform chain — one declarative
     plan, all JVM expressions (the only collect is over distinct templates
-    in S2)."""
+    in S2).
+
+    ``cluster=False`` defers the S2 cluster-map join (pass 2): callers that
+    persist the stream first should apply ``attach_clusters`` afterwards so
+    the distinct-template scan reads the cache instead of recomputing the
+    chain (run_pipeline does this).
+    """
     spark = transcripts.sparkSession
     df = parse_keyvalue(transcripts, config.parse_fields)           # S1
-    df = fingerprint_and_cluster(df)                                # S2
+    df = fingerprint(df)                                            # S2 pass 1
+    if cluster:
+        df = attach_clusters(df)                                    # S2 pass 2
     df = redact(df, config.pii_patterns)                            # S3
     df = enrich(df, tools if tools is not None else tool_lookup(spark), "tool",
                 fill_unknown={"tool_category": "unknown", "tool_owner": "unknown", "valid": False})  # S4
@@ -98,23 +107,31 @@ def run_pipeline(
     lineage = LineageLog(catalog)
     done = lineage.committed_stages(run_id) if resume else set()
 
-    decorated = decorate(transcripts, config, tools=tools, roles=roles)
+    pre = decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
     if config.salt_partitions > 0:
         # bound partition size under hot conversations: spread each conv's
         # turns over salt buckets; sink stays the leading key so the
         # partitioned write still clusters by sink.
-        decorated = decorated.repartition(
+        pre = pre.repartition(
             F.col("sink"),
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(config.salt_partitions)),
         )
-    decorated = decorated.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist BEFORE the S2 cluster pass: the distinct-template collect and
+    # both sink writes then share one materialization (forward-connector
+    # fan-out without recompute, SURVEY.md §4).
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    import time as _time
 
-    summary: dict = {"run_id": run_id, "stages_run": [], "stages_skipped": []}
+    summary: dict = {"run_id": run_id, "stages_run": [], "stages_skipped": [], "timings": {}}
+    _t0 = _time.perf_counter()
+    decorated = attach_clusters(pre)
+    summary["timings"]["attach_clusters"] = round(_time.perf_counter() - _t0, 3)
     try:
         # ---- S6: single-pass fan-out write --------------------------------
         if STAGE_ROUTED in done:
             summary["stages_skipped"].append(STAGE_ROUTED)
         else:
+            _t0 = _time.perf_counter()
             routed = add_time_partitions(decorated, granularity=config.partition_granularity)
             part_cols = ["sink", "p_date"] + (
                 ["p_hour"] if config.partition_granularity in ("hour", "minute") else []
@@ -126,6 +143,7 @@ def run_pipeline(
             ]
             lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
             summary["stages_run"].append(STAGE_ROUTED)
+            summary["timings"][STAGE_ROUTED] = round(_time.perf_counter() - _t0, 3)
         if fail_after_stage == STAGE_ROUTED:
             raise RuntimeError("injected failure after routed_write")
 
@@ -133,6 +151,7 @@ def run_pipeline(
         if STAGE_AGG in done:
             summary["stages_skipped"].append(STAGE_AGG)
         else:
+            _t0 = _time.perf_counter()
             aggs = interval_aggregate(
                 decorated, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
             )
@@ -143,8 +162,9 @@ def run_pipeline(
             ]
             lineage.commit_many(run_id, STAGE_AGG, per_sink)
             summary["stages_run"].append(STAGE_AGG)
+            summary["timings"][STAGE_AGG] = round(_time.perf_counter() - _t0, 3)
         if fail_after_stage == STAGE_AGG:
             raise RuntimeError("injected failure after aggregates_write")
     finally:
-        decorated.unpersist()
+        pre.unpersist()
     return summary
