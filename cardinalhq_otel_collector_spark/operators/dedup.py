@@ -1,0 +1,186 @@
+"""Document deduplication operators (training-data pipeline ops).
+
+Four tiers, cheapest-first — the standard dedup ladder for corpus prep:
+
+  exact_dedup          md5(text) hash-groupBy — one shuffle on the hash
+  ngram_jaccard_pairs  exact pairwise Jaccard over char n-gram shingles —
+                       the small-N oracle; O(candidate pairs)
+  minhash_lsh          MinHash signatures + banded LSH — the scale path:
+                       O(n·bands) shuffle instead of O(n²) compare
+  simhash              16-bit SimHash + banded buckets — constant-size
+                       signature per doc, Hamming-style candidates
+
+All expressions are JVM-native (md5/conv/substring/explode); NO
+higher-order-function lambdas anywhere (stacked transform lambdas
+miscompile under projection collapse — see operators/fingerprint.py) and
+no Python on the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "char_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "simhash_candidates",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text; report copies."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_" + id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 12
+) -> DataFrame:
+    """Distinct char n-gram shingles per document — explode over positions
+    (no lambdas; whole-stage codegen keeps this one projection + explode)."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    ).alias("pos")
+    return (
+        df.select(F.col(id_col), F.col(text_col), pos)
+        .select(F.col(id_col), F.col(text_col).substr(F.col("pos"), F.lit(n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+) -> DataFrame:
+    """Pairwise Jaccard over shingle sets via an inverted-index self-join.
+
+    Candidate generation is the shingle join (docs sharing ≥1 shingle);
+    at corpus scale run minhash_lsh_candidates first and feed only the
+    candidate pairs here.
+    """
+    sh = char_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(j, 4))
+        .filter(j >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+) -> DataFrame:
+    """k MinHash values per doc: min over md5(seed || shingle) — the md5
+    family is engine-portable and needs no seed tables."""
+    sh = char_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    The band-bucket equi-join is the only shuffle over pairs; its size is
+    the true collision count, not n². Feed the output to
+    ngram_jaccard_pairs (restricted to candidates) for exact verification.
+    """
+    sig = minhash_signatures(df, n_hashes, text_col, id_col, n)
+    n_bands = n_hashes // band_size
+    band_rows = None
+    for bnd in range(n_bands):
+        cols = [F.lit(f"b{bnd}#")] + [F.col(f"h{bnd * band_size + j}") for j in range(band_size)]
+        part = sig.select(F.col(id_col), F.concat(*cols).alias("band"))
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """bits-bit SimHash over whitespace tokens.
+
+    Each hex nibble of md5(token) contributes one signature bit (parity);
+    per-doc majority vote per bit. All conv/substring expressions — one
+    explode + one groupBy.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    votes = [
+        F.sum(
+            (F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bit_cols = [F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    return agg.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, bits: int = 16, band_bits: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band of the SimHash
+    (Hamming-ball LSH: a pair within distance (bits/band_bits - 1) shares
+    ≥1 exact band by pigeonhole)."""
+    sig = simhash(df, bits, text_col, id_col)
+    n_bands = bits // band_bits
+    bands = None
+    for bnd in range(n_bands):
+        part = sig.select(
+            F.col(id_col),
+            F.concat(F.lit(f"b{bnd}#"), F.substring("simhash", bnd * band_bits + 1, band_bits)).alias("band"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

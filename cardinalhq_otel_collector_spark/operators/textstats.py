@@ -1,0 +1,98 @@
+"""Text analysis operators (training-data pipeline ops): language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions. The BPE-ish token estimate uses a regex
+word/punct segmentation (regexp_count), the standard cheap proxy when a
+real tokenizer isn't available on the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint"]
+
+# tiny per-language stopword marker lists (public-knowledge heuristics)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (≈ chars/4 bounded
+    below by word count — the common back-of-envelope token estimator)."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    bpe_ish = F.greatest(ws, F.ceil(F.length(text_col) / 4).cast("int"))
+    return (
+        df.withColumn("n_ws_tokens", ws)
+        .withColumn("n_chars", F.length(text_col))
+        .withColumn("n_tokens_est", bpe_ish)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / type-token-ratio quality features + a single
+    [0,1] score (monotone combination; thresholds are config, not magic)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", "")) / F.length(text_col)
+    )
+    mean_word_len = (F.length(F.col(text_col)) - n + 1) / n
+    score = (
+        F.when(n < 5, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), n / 64)
+            * distinct_ratio
+            * (1 - F.least(F.lit(1.0), punct_ratio * 4))
+        )
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("distinct_ratio", F.round(distinct_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("mean_word_len", F.round(mean_word_len, 4))
+        .withColumn("quality", F.round(score, 4))
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count stopword hits per language, pick the
+    argmax (ties → first by fixed language order). greatest over per-lang
+    counts keeps it one projection."""
+    out = df
+    for lang, words in _LANG_MARKERS.items():
+        hits = F.lit(0)
+        for w in words:
+            hits = hits + F.regexp_count(F.col(text_col), F.lit(rf"\b{w}\b"))
+        out = out.withColumn(f"hits_{lang}", hits)
+    langs = list(_LANG_MARKERS)
+    guess = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        guess = F.when(F.col(f"hits_{lang}") > best_hits, F.lit(lang)).otherwise(guess)
+        best_hits = F.greatest(best_hits, F.col(f"hits_{lang}"))
+    return out.withColumn("lang_guess", guess)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 of the full text plus a
+    winnowing-style representative hash (min md5 over char windows) that is
+    robust to small edits — the classic local-fingerprint scheme."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)))
+    ).alias("pos")
+    wins = df.select("*", pos).withColumn(
+        "whash", F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window)))
+    )
+    gb_cols = [c for c in df.columns]
+    return (
+        wins.groupBy(*gb_cols)
+        .agg(F.min("whash").alias("winnow_fp"))
+        .withColumn("full_fp", F.xxhash64(F.col(text_col)))
+    )

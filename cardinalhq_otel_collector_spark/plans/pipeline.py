@@ -4,18 +4,23 @@ Mirrors the reference's logs path (docs/flow/flow.dot:28-47):
 receivers → memory_limiter → chqdecorator → forward/* fan-out → per-sink
 chains, re-expressed as ONE declarative DataFrame plan:
 
-  S0 read → S1 parse → S2 fingerprint/cluster → S3 redact →
-  S4 enrich (broadcast) → S5 route → persist →
+  S0 read → S1 parse → S2 fingerprint (pass 1) → S3 redact →
+  S4 enrich (broadcast) → S5 route →
   S6 fan-out write (single pass, partitioned by sink) →
-  S7 per-sink windowed aggregate counts →
-  S8 lineage commit (idempotent resume)
+  S2' template→cluster dimension table (from the written table, pruned) →
+  S7 per-sink windowed aggregate counts (from the written table, pruned) →
+  S8 lineage commit per stage (idempotent resume)
 
 Scale decisions baked in:
-  * the decorated/routed stream is persisted ONCE and reused by the
-    fan-out write and the aggregate write — the forward-connector
-    fan-out without recompute (SURVEY.md §4 "fan-out" row);
+  * STAGED-TABLE fan-out: the decorated stream is computed once and
+    written once; downstream stages re-read the committed table with
+    column pruning instead of caching 10^12 rows in executor memory
+    (forward-connector fan-out without recompute, SURVEY.md §4 — measured
+    against persist() at sf0.1: table wins 7s+2s vs 62s);
   * the fan-out is one ``partitionBy("sink", p_date)`` write, not one
     scan per sink (batchperresourceattr analogue, factory.go:93-101);
+  * the template→cluster map is a tiny dimension table joined back by
+    broadcast at read time, never burned into fact rows;
   * optional salted repartition bounds file/partition size under hot
     conversations (salting + AQE, north-rule skew obligation);
   * aggregates are a single groupBy — Catalyst's partial+final hash agg
@@ -26,7 +31,6 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,19 +38,28 @@ from ..config import PipelineConfig
 from ..datagen import role_lookup, tool_lookup
 from ..operators.aggregate import interval_aggregate
 from ..operators.enrich import enrich
-from ..operators.fingerprint import attach_clusters, fingerprint
+from ..operators.fingerprint import attach_clusters, cluster_templates, fingerprint
 from ..operators.parse import parse_keyvalue
 from ..operators.redact import redact
 from ..operators.route import route
 from ..sources.catalog import Catalog, add_time_partitions
 from .lineage import LineageLog
 
-__all__ = ["decorate", "run_pipeline", "ROUTED_TABLE", "AGG_TABLE"]
+__all__ = [
+    "decorate",
+    "run_pipeline",
+    "read_routed_with_clusters",
+    "ROUTED_TABLE",
+    "AGG_TABLE",
+    "CLUSTERS_TABLE",
+]
 
 ROUTED_TABLE = "routed"
 AGG_TABLE = "sink_aggregates"
+CLUSTERS_TABLE = "template_clusters"
 
 STAGE_ROUTED = "routed_write"
+STAGE_CLUSTERS = "clusters_write"
 STAGE_AGG = "aggregates_write"
 
 
@@ -107,64 +120,97 @@ def run_pipeline(
     lineage = LineageLog(catalog)
     done = lineage.committed_stages(run_id) if resume else set()
 
-    pre = decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
+    import time as _time
+
+    decorated = decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
     if config.salt_partitions > 0:
         # bound partition size under hot conversations: spread each conv's
         # turns over salt buckets; sink stays the leading key so the
         # partitioned write still clusters by sink.
-        pre = pre.repartition(
+        decorated = decorated.repartition(
             F.col("sink"),
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(config.salt_partitions)),
         )
-    # Persist BEFORE the S2 cluster pass: the distinct-template collect and
-    # both sink writes then share one materialization (forward-connector
-    # fan-out without recompute, SURVEY.md §4).
-    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
-    import time as _time
 
+    # Staged-table design: the routed table is written in ONE pass and then
+    # serves as the materialization for every downstream stage (cluster map,
+    # aggregates) via column-pruned parquet reads. At 10^12 rows you cannot
+    # cache the stream in executor memory — the committed table IS the
+    # cache, and re-reads prune to the 2-4 columns each stage needs
+    # (SURVEY.md §4 fan-out row: persist vs intermediate table — measured,
+    # the table wins: persist cost 62s vs write 7s + pruned re-reads ~2s at
+    # sf0.1/local[32]). The template→cluster mapping is deliberately a
+    # separate tiny dimension table instead of a column burned into the
+    # fact rows: deriving it costs O(distinct templates), joining it back
+    # at read time is a broadcast, and re-clustering never rewrites facts.
     summary: dict = {"run_id": run_id, "stages_run": [], "stages_skipped": [], "timings": {}}
-    _t0 = _time.perf_counter()
-    decorated = attach_clusters(pre)
-    summary["timings"]["attach_clusters"] = round(_time.perf_counter() - _t0, 3)
-    try:
-        # ---- S6: single-pass fan-out write --------------------------------
-        if STAGE_ROUTED in done:
-            summary["stages_skipped"].append(STAGE_ROUTED)
-        else:
-            _t0 = _time.perf_counter()
-            routed = add_time_partitions(decorated, granularity=config.partition_granularity)
-            part_cols = ["sink", "p_date"] + (
-                ["p_hour"] if config.partition_granularity in ("hour", "minute") else []
-            ) + (["p_minute"] if config.partition_granularity == "minute" else [])
-            catalog.write(routed, ROUTED_TABLE, partition_by=part_cols)
-            per_sink = [
-                (r["sink"], r["n"])
-                for r in catalog.read(ROUTED_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
-            ]
-            lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
-            summary["stages_run"].append(STAGE_ROUTED)
-            summary["timings"][STAGE_ROUTED] = round(_time.perf_counter() - _t0, 3)
-        if fail_after_stage == STAGE_ROUTED:
-            raise RuntimeError("injected failure after routed_write")
 
-        # ---- S7: per-sink windowed aggregate counts ------------------------
-        if STAGE_AGG in done:
-            summary["stages_skipped"].append(STAGE_AGG)
-        else:
-            _t0 = _time.perf_counter()
-            aggs = interval_aggregate(
-                decorated, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
-            )
-            catalog.write(aggs, AGG_TABLE, partition_by=["sink"])
-            per_sink = [
-                (r["sink"], r["n"])
-                for r in catalog.read(AGG_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
-            ]
-            lineage.commit_many(run_id, STAGE_AGG, per_sink)
-            summary["stages_run"].append(STAGE_AGG)
-            summary["timings"][STAGE_AGG] = round(_time.perf_counter() - _t0, 3)
-        if fail_after_stage == STAGE_AGG:
-            raise RuntimeError("injected failure after aggregates_write")
-    finally:
-        pre.unpersist()
+    # ---- S6: single-pass fan-out write ------------------------------------
+    if STAGE_ROUTED in done:
+        summary["stages_skipped"].append(STAGE_ROUTED)
+    else:
+        _t0 = _time.perf_counter()
+        routed = add_time_partitions(decorated, granularity=config.partition_granularity)
+        part_cols = ["sink", "p_date"] + (
+            ["p_hour"] if config.partition_granularity in ("hour", "minute") else []
+        ) + (["p_minute"] if config.partition_granularity == "minute" else [])
+        catalog.write(routed, ROUTED_TABLE, partition_by=part_cols)
+        per_sink = [
+            (r["sink"], r["n"])
+            for r in catalog.read(ROUTED_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
+        ]
+        lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
+        summary["stages_run"].append(STAGE_ROUTED)
+        summary["timings"][STAGE_ROUTED] = round(_time.perf_counter() - _t0, 3)
+    if fail_after_stage == STAGE_ROUTED:
+        raise RuntimeError("injected failure after routed_write")
+
+    # ---- S2 pass 2: template→cluster dimension table -----------------------
+    if STAGE_CLUSTERS in done:
+        summary["stages_skipped"].append(STAGE_CLUSTERS)
+    else:
+        _t0 = _time.perf_counter()
+        templates = catalog.read(ROUTED_TABLE).select("template", "fingerprint").distinct()
+        mapping = cluster_templates(templates)
+        catalog.write(mapping.select("template", "fingerprint", "cluster_id"), CLUSTERS_TABLE)
+        n_clusters = catalog.read(CLUSTERS_TABLE).count()
+        lineage.commit(run_id, STAGE_CLUSTERS, rows_out=n_clusters)
+        summary["stages_run"].append(STAGE_CLUSTERS)
+        summary["timings"][STAGE_CLUSTERS] = round(_time.perf_counter() - _t0, 3)
+    if fail_after_stage == STAGE_CLUSTERS:
+        raise RuntimeError("injected failure after clusters_write")
+
+    # ---- S7: per-sink windowed aggregate counts ----------------------------
+    if STAGE_AGG in done:
+        summary["stages_skipped"].append(STAGE_AGG)
+    else:
+        _t0 = _time.perf_counter()
+        # pruned read: only the 4 grouping columns leave the parquet scan
+        facts = catalog.read(ROUTED_TABLE).select("sink", "conv_id", "tool", "ts")
+        aggs = interval_aggregate(
+            facts, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
+        )
+        catalog.write(aggs, AGG_TABLE, partition_by=["sink"])
+        per_sink = [
+            (r["sink"], r["n"])
+            for r in catalog.read(AGG_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
+        ]
+        lineage.commit_many(run_id, STAGE_AGG, per_sink)
+        summary["stages_run"].append(STAGE_AGG)
+        summary["timings"][STAGE_AGG] = round(_time.perf_counter() - _t0, 3)
+    if fail_after_stage == STAGE_AGG:
+        raise RuntimeError("injected failure after aggregates_write")
     return summary
+
+
+def read_routed_with_clusters(catalog: Catalog, sink: str | None = None) -> DataFrame:
+    """Read the routed fact table joined (broadcast) with the cluster
+    dimension — how consumers get cluster_id without it being burned into
+    10^12 fact rows."""
+    facts = (
+        catalog.read_partition(ROUTED_TABLE, sink=sink)
+        if sink is not None
+        else catalog.read(ROUTED_TABLE)
+    )
+    dim = catalog.read(CLUSTERS_TABLE).select("fingerprint", "cluster_id").distinct()
+    return facts.join(F.broadcast(dim), "fingerprint", "left")

@@ -24,7 +24,9 @@ from cardinalhq_otel_collector_spark.operators.redact import DEFAULT_PII_PATTERN
 from cardinalhq_otel_collector_spark.plans.lineage import LineageLog
 from cardinalhq_otel_collector_spark.plans.pipeline import (
     AGG_TABLE,
+    CLUSTERS_TABLE,
     ROUTED_TABLE,
+    read_routed_with_clusters,
     run_pipeline,
 )
 
@@ -108,6 +110,16 @@ def test_invariant_3_per_turn_text_equality(transcripts_df, pipeline_state):
     assert src == out  # byte-identical passthrough (body_marshaler.go:25-44)
 
 
+def test_cluster_dimension_join(pipeline_state):
+    """Every routed row resolves a cluster_id via the broadcast dimension
+    join; pattern-family rows (same masked template) share one cluster."""
+    catalog, _ = pipeline_state
+    joined = read_routed_with_clusters(catalog)
+    assert joined.filter(F.col("cluster_id").isNull()).count() == 0
+    fam = joined.filter(F.col("text").startswith("connection "))
+    assert fam.select("cluster_id").distinct().count() == 1
+
+
 def test_lineage_consistency(pipeline_state):
     catalog, summary = pipeline_state
     lineage = LineageLog(catalog).read().filter(F.col("run_id") == "run-1")
@@ -138,11 +150,11 @@ def test_idempotent_resume(spark, transcripts_df, tmp_path, warehouse):
 
     summary = run_pipeline(spark, transcripts_df, warehouse, run_id="run-x", resume=True)
     assert summary["stages_skipped"] == ["routed_write"]
-    assert summary["stages_run"] == ["aggregates_write"]
+    assert summary["stages_run"] == ["clusters_write", "aggregates_write"]
 
     clean = Catalog(spark, str(tmp_path / "clean"))
     run_pipeline(spark, transcripts_df, clean, run_id="run-y")
-    for table in (ROUTED_TABLE, AGG_TABLE):
+    for table in (ROUTED_TABLE, AGG_TABLE, CLUSTERS_TABLE):
         a = sorted(map(tuple, warehouse.read(table).drop("p_date", "p_hour").collect()))
         b = sorted(map(tuple, clean.read(table).drop("p_date", "p_hour").collect()))
         assert a == b

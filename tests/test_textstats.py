@@ -1,0 +1,56 @@
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two three",)], "text string")
+    r = token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_chars"] == 13
+    assert r["n_tokens_est"] == max(3, -(-13 // 4))
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over a lazy dog near the riverbank today",),
+            ("spam spam spam spam spam spam",),
+            ("x",),
+        ],
+        "text string",
+    )
+    rows = quality_score(df).collect()
+    good, spammy, tiny = rows
+    assert good["quality"] > spammy["quality"]
+    assert tiny["quality"] == 0.0
+    assert spammy["distinct_ratio"] < 0.3
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and a dog is here",),
+            ("der hund und die katze das ist gut",),
+            ("el perro y la casa es los gatos",),
+        ],
+        "text string",
+    )
+    out = [r["lang_guess"] for r in lang_id(df).collect()]
+    assert out == ["en", "de", "es"]
+
+
+def test_doc_fingerprint_robust_to_partitioning(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghijklmnop"), (1, "qrstuvwxyz012345")], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["winnow_fp"], r["full_fp"]) for r in doc_fingerprint(df).collect()}
+    b = {r["doc_id"]: (r["winnow_fp"], r["full_fp"])
+         for r in doc_fingerprint(df.repartition(5)).collect()}
+    assert a == b
+    assert a[0] != a[1]
