@@ -1,0 +1,117 @@
+"""Streaming variant of the pipeline (Structured Streaming).
+
+The reference is a streaming system: batches arrive at receivers, the
+aggregation processor emits at most once per interval piggybacked on
+arrivals (aggregate.go:31-44), and late datapoints simply join the current
+bucket. The Spark mapping:
+
+  receiver           → ``readStream`` file source over the transcripts dir
+                        (kafka source is the same code path with
+                        ``format("kafka")`` — not available in-sandbox)
+  processor chain    → the SAME decorate() stage functions (S1-S5 are
+                        stateless projections, legal on streaming frames)
+  interval emit (A6) → tumbling ``window(ts, interval)`` + watermark;
+                        append mode emits each window once, when the
+                        watermark passes it — exactly the "≤ once per
+                        interval" contract, with a principled late-data
+                        bound the reference lacks
+  exporter           → partitioned parquet file sink with checkpoint —
+                        exactly-once via the sink's commit log (the
+                        streaming twin of the _lineage idempotence story)
+
+Template clustering (S2 pass 2) is deliberately batch-only: cluster
+identity must be stable across the whole corpus, so the streaming job
+carries (template, fingerprint) and the dimension table is refreshed by
+the batch clusters_write stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig
+from ..plans.pipeline import decorate
+from ..sources.catalog import add_time_partitions
+
+__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline"]
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, source_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)  # bounded micro-batches (backpressure)
+        .parquet(source_dir)
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> list:
+    """Start (and with available_now=True, run to completion) the streaming
+    pipeline: decorated/routed append sink + windowed aggregate sink.
+
+    Returns the list of streaming queries (terminated if available_now).
+    Restart-safety: both sinks are file sinks with checkpoints — a killed
+    and restarted job resumes from the checkpoint and never duplicates a
+    committed file (exactly-once within one sink directory).
+    """
+    from ..datagen import routing_rules
+
+    config = (config or PipelineConfig(rules=routing_rules())).validate()
+    stream = stream_transcripts(spark, source_dir)
+    decorated = decorate(stream, config, cluster=False)
+
+    routed = add_time_partitions(decorated, granularity=config.partition_granularity)
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    q_routed = (
+        routed.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "routed_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_routed"))
+        .partitionBy("sink", "p_date")
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+    aggs = (
+        decorated.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", config.agg_interval).alias("w"), "sink", "conv_id", "tool"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "sink", "conv_id", "tool", "n")
+    )
+    q_aggs = (
+        aggs.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "agg_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_aggs"))
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+    queries = [q_routed, q_aggs]
+    if available_now:
+        for q in queries:
+            q.awaitTermination()
+    return queries

@@ -1,0 +1,70 @@
+import os
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.config import PipelineConfig
+from cardinalhq_otel_collector_spark.datagen import routing_rules, transcripts
+from cardinalhq_otel_collector_spark.plans.pipeline import decorate
+from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+    run_streaming_pipeline,
+)
+
+
+def test_streaming_matches_batch(spark, transcripts_df, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # several files so multiple micro-batches happen
+    transcripts_df.repartition(6).write.parquet(src)
+
+    run_streaming_pipeline(spark, src, out, watermark="1 minute")
+
+    routed = spark.read.option("basePath", os.path.join(out, "routed_stream")).parquet(
+        os.path.join(out, "routed_stream")
+    )
+    cfg = PipelineConfig(rules=routing_rules()).validate()
+    batch = decorate(transcripts_df, cfg, cluster=False)
+
+    # stateless path: streaming output ≡ batch output, row for row
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["sink"], r["text"]) for r in routed.collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], r["sink"], r["text"]) for r in batch.collect()
+    )
+    assert a == b
+
+    # windowed aggregates: every emitted (closed) window matches the batch
+    # aggregate exactly; only windows still open at end-of-stream may be
+    # missing (append-mode watermark semantics)
+    aggs = spark.read.parquet(os.path.join(out, "agg_stream"))
+    emitted = {
+        (r["bucket_start"], r["sink"], r["conv_id"], r["tool"]): r["n"]
+        for r in aggs.collect()
+    }
+    expected = {
+        (r["bucket_start"], r["sink"], r["conv_id"], r["tool"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", cfg.agg_interval).alias("w"), "sink", "conv_id", "tool"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "sink", "conv_id", "tool", "n")
+        .collect()
+    }
+    assert len(emitted) > 0
+    for k, n in emitted.items():
+        assert expected[k] == n
+
+
+def test_streaming_restart_is_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = transcripts(spark, n_convs=30, partitions=3)
+    df.write.parquet(src)
+
+    run_streaming_pipeline(spark, src, out, watermark="1 minute")
+    routed_dir = os.path.join(out, "routed_stream")
+    n1 = spark.read.parquet(routed_dir).count()
+    # restart with the same checkpoint: no new input -> no duplicates
+    run_streaming_pipeline(spark, src, out, watermark="1 minute")
+    n2 = spark.read.parquet(routed_dir).count()
+    assert n1 == n2 == df.count()
