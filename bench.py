@@ -77,6 +77,8 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
     from cardinalhq_otel_collector_spark.sources.catalog import Catalog
 
     tmp = tempfile.mkdtemp(prefix="bench_wh_")
+    src = os.environ.get("SPARK_GRAFT_BENCH_SRC") or tempfile.mkdtemp(prefix="bench_src_")
+    own_src = "SPARK_GRAFT_BENCH_SRC" not in os.environ
     try:
         cfg = PipelineConfig(rules=routing_rules(), salt_partitions=2 * cores)
         # untimed warm-up: JIT/codegen compile on a tiny run so the timed
@@ -85,8 +87,16 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
         run_pipeline(spark, warm, Catalog(spark, tempfile.mkdtemp(prefix="bench_warm_")),
                      config=cfg, run_id="warmup")
 
-        df = transcripts(spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
-                         partitions=4 * cores)
+        # materialize the input table UNTIMED: the pipeline under test reads
+        # parquet from disk like a real deployment reads Iceberg — generator
+        # CPU must not pollute the throughput number. A shared src dir
+        # (SPARK_GRAFT_BENCH_SRC) lets scaling mode feed the IDENTICAL
+        # physical input to both parallelism levels.
+        src_table = os.path.join(src, "transcripts")
+        if not os.path.exists(os.path.join(src_table, "_SUCCESS")):
+            transcripts(spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
+                        partitions=4 * cores).write.mode("overwrite").parquet(src_table)
+        df = spark.read.parquet(src_table)
         n_turns = df.count()
         catalog = Catalog(spark, tmp)
         t0 = time.perf_counter()
@@ -97,6 +107,8 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
                 "stage_timings": summary.get("timings", {})}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        if own_src:
+            shutil.rmtree(src, ignore_errors=True)
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -136,8 +148,10 @@ def main_default(sf_dir: str, cores: int, skip_queries: bool = False) -> dict:
 
 def main_scaling(sf_dir: str, low: int, high: int) -> dict:
     results = {}
+    shared_src = tempfile.mkdtemp(prefix="bench_scaling_src_")
     for cores in (low, high):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                   SPARK_GRAFT_BENCH_SRC=shared_src)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
              "--cores", str(cores), "--pipeline-only"],
@@ -145,6 +159,7 @@ def main_scaling(sf_dir: str, low: int, high: int) -> dict:
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
+    shutil.rmtree(shared_src, ignore_errors=True)
     t_low = results[low]["pipeline_sec"]
     t_high = results[high]["pipeline_sec"]
     eff = (t_low / t_high) / (high / low)

@@ -1,0 +1,49 @@
+import pytest
+
+from cardinalhq_otel_collector_spark.config import PipelineConfig
+
+
+def _rules():
+    return [{"rule_id": 1, "predicate": "x > 1", "sink": "a"}]
+
+
+def test_valid_config():
+    cfg = PipelineConfig(rules=_rules()).validate()
+    assert cfg.default_sink == "default"
+
+
+def test_interval_minimum():
+    """aggregationprocessor/config.go:42-44: interval must be >= 1s."""
+    with pytest.raises(ValueError, match=">= 1 second"):
+        PipelineConfig(rules=_rules(), agg_interval_seconds=0).validate()
+
+
+def test_bad_agg_type():
+    with pytest.raises(ValueError, match="default_agg_type"):
+        PipelineConfig(rules=_rules(), default_agg_type="median").validate()
+
+
+def test_duplicate_rule_ids():
+    rules = _rules() + [{"rule_id": 1, "predicate": "x < 1", "sink": "b"}]
+    with pytest.raises(ValueError, match="duplicate rule_id"):
+        PipelineConfig(rules=rules).validate()
+
+
+def test_rule_missing_keys():
+    with pytest.raises(ValueError, match="missing keys"):
+        PipelineConfig(rules=[{"rule_id": 2, "sink": "a"}]).validate()
+
+
+def test_empty_sink():
+    with pytest.raises(ValueError, match="non-empty"):
+        PipelineConfig(rules=[{"rule_id": 1, "predicate": "x>1", "sink": ""}]).validate()
+
+
+def test_bad_regex():
+    with pytest.raises(ValueError, match="bad pii pattern"):
+        PipelineConfig(rules=_rules(), pii_patterns=[("broken", "([", "<X>")]).validate()
+
+
+def test_bad_granularity():
+    with pytest.raises(ValueError, match="granularity"):
+        PipelineConfig(rules=_rules(), partition_granularity="week").validate()
