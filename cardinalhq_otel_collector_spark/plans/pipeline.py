@@ -123,6 +123,15 @@ def run_pipeline(
     import time as _time
 
     decorated = decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
+    # Fact-table slimming: 'template' is derivable (mask regex over text) —
+    # recomputed in the clusters stage from a pruned read instead of being
+    # stored per row; 'text_redacted' is stored only where it differs from
+    # text (read side: coalesce(text_redacted, text)). At 10^12 rows the
+    # storage/shuffle bandwidth of two extra text-sized columns dwarfs the
+    # recompute CPU.
+    decorated = decorated.drop("template").withColumn(
+        "text_redacted", F.when(F.col("has_pii"), F.col("text_redacted"))
+    )
     if config.salt_partitions > 0:
         # bound partition size under hot conversations: spread each conv's
         # turns over salt buckets; sink stays the leading key so the
@@ -170,7 +179,13 @@ def run_pipeline(
         summary["stages_skipped"].append(STAGE_CLUSTERS)
     else:
         _t0 = _time.perf_counter()
-        templates = catalog.read(ROUTED_TABLE).select("template", "fingerprint").distinct()
+        # pruned read of text only; re-derive (template, fingerprint) — same
+        # expressions as pass 1, so fingerprints line up by construction
+        templates = (
+            fingerprint(catalog.read(ROUTED_TABLE).select("text"))
+            .select("template", "fingerprint")
+            .distinct()
+        )
         mapping = cluster_templates(templates)
         catalog.write(mapping.select("template", "fingerprint", "cluster_id"), CLUSTERS_TABLE)
         n_clusters = catalog.read(CLUSTERS_TABLE).count()
