@@ -497,6 +497,110 @@ _QUERIES: dict[str, tuple[str, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Library-backed queries with no portable SQL oracle (driver records the
+# weaker rows-only check for these — genuinely non-SQL-expressible paths:
+# driver-side union-find clustering, banded hyperplane LSH, Arrow-batched
+# multimodal decode, the full staged pipeline with lineage).
+# ---------------------------------------------------------------------------
+
+
+def _lib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full staged pipeline over deterministic synthetic transcripts;
+    returns per-sink counts (the north-rule aggregate shape)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.datagen import transcripts
+    from cardinalhq_otel_collector_spark.plans.pipeline import AGG_TABLE, run_pipeline
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="entry_wh_"))
+    df = transcripts(spark, n_convs=300, hot_convs=3)
+    run_pipeline(spark, df, catalog, run_id="entry")
+    return (
+        catalog.read(AGG_TABLE)
+        .groupBy("sink")
+        .agg(F.sum("n").alias("turns"), F.count(F.lit(1)).alias("groups"))
+    )
+
+
+def _lib_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.datagen import transcripts
+    from cardinalhq_otel_collector_spark.operators.fingerprint import fingerprint_and_cluster
+
+    df = fingerprint_and_cluster(transcripts(spark, n_convs=200))
+    return df.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fingerprint").alias("n_templates"),
+    )
+
+
+def _lib_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, emb, k=3, bits=4, n_bands=8)
+
+
+def _lib_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.dedup import simhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    return simhash_candidates(docs)
+
+
+def _lib_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.multimodal import decode_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_features(media)
+
+
+def _lib_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cardinalhq_otel_collector_spark.datagen import transcripts
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        run_streaming_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_stream_")
+    src, out = f"{base}/src", f"{base}/out"
+    transcripts(spark, n_convs=100).repartition(4).write.parquet(src)
+    run_streaming_pipeline(spark, src, out, watermark="1 minute")
+    return spark.read.parquet(f"{out}/routed_stream").groupBy("sink").count()
+
+
+_LIB_QUERIES: dict[str, object] = {
+    "lib_pipeline_e2e": _lib_pipeline,
+    "lib_template_clusters": _lib_template_clusters,
+    "lib_ann_lsh": _lib_ann_lsh,
+    "lib_simhash_candidates": _lib_simhash,
+    "lib_multimodal_decode": _lib_multimodal,
+    "lib_streaming_pipeline": _lib_streaming,
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the transcript pipeline (decorate → route → window agg) over
     a transcript-shaped stream derived from sf0.001 events."""
@@ -529,7 +633,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _sql(spark_sql) for name, (spark_sql, _) in _QUERIES.items()}
+    out = {name: _sql(spark_sql) for name, (spark_sql, _) in _QUERIES.items()}
+    out.update(_LIB_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -42,6 +42,15 @@ def build_spark(
     if driver_mem is None:
         driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
+    # Shuffle/spill scratch: prefer tmpfs when present. The sandbox has one
+    # virtual disk; routing Spark's local dirs through /dev/shm keeps
+    # shuffle I/O off the data disk (on a real cluster this is the NVMe
+    # local-dir convention). Override with SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -55,6 +64,8 @@ def build_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # Respect an externally-provided master (spark-submit / cluster); only
     # default to local[k] when none is set.
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in {

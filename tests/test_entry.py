@@ -66,6 +66,13 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("name", list(entrymod._LIB_QUERIES))
+def test_lib_query_smoke(spark, name):
+    """Rows-only gate for the non-SQL-expressible library queries."""
+    df = entrymod._LIB_QUERIES[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
