@@ -179,6 +179,7 @@ def main_default(sf_dir: str, cores: int, skip_queries: bool = False) -> dict:
         "queries": queries,
         "sf": sf,
         "pipeline_sec": round(pipe["pipeline_sec"], 3),
+        "steal_pct": pipe.get("steal_pct"),
         "stage_timings": pipe.get("stage_timings", {}),
         "n_turns": pipe["n_turns"],
         "cores": cores,
