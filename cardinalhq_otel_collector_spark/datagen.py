@@ -212,3 +212,27 @@ def summaries_fixture(spark: SparkSession) -> DataFrame:
         "ts_ms long, start_ts_ms long"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _main() -> None:
+    """CLI: python -m cardinalhq_otel_collector_spark.datagen \
+           --n-convs 1000000 --hot-convs 1000 --out /path/transcripts"""
+    import argparse
+
+    from .session import build_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, required=True)
+    ap.add_argument("--hot-convs", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+    spark = build_spark(app_name="transcripts-datagen")
+    transcripts(
+        spark, n_convs=args.n_convs, hot_convs=args.hot_convs, partitions=args.partitions
+    ).write.mode("overwrite").parquet(args.out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    _main()
