@@ -163,11 +163,18 @@ def run_pipeline(
         part_cols = ["sink", "p_date"] + (
             ["p_hour"] if config.partition_granularity in ("hour", "minute") else []
         ) + (["p_minute"] if config.partition_granularity == "minute" else [])
+        # per-sink row counts via observed metrics ON the write job itself —
+        # no second scan of the written table (sink labels are closed over
+        # the rule table, so the metric set is static)
+        from pyspark.sql import Observation
+
+        sinks = [r["sink"] for r in config.rules] + [config.default_sink]
+        obs = Observation()
+        routed = routed.observe(
+            obs, *[F.count(F.when(F.col("sink") == s, 1)).alias(s) for s in sinks]
+        )
         catalog.write(routed, ROUTED_TABLE, partition_by=part_cols)
-        per_sink = [
-            (r["sink"], r["n"])
-            for r in catalog.read(ROUTED_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
-        ]
+        per_sink = [(s, n) for s, n in obs.get.items() if n > 0]
         lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
         summary["stages_run"].append(STAGE_ROUTED)
         summary["timings"][STAGE_ROUTED] = round(_time.perf_counter() - _t0, 3)
@@ -187,9 +194,14 @@ def run_pipeline(
             .distinct()
         )
         mapping = cluster_templates(templates)
-        catalog.write(mapping.select("template", "fingerprint", "cluster_id"), CLUSTERS_TABLE)
-        n_clusters = catalog.read(CLUSTERS_TABLE).count()
-        lineage.commit(run_id, STAGE_CLUSTERS, rows_out=n_clusters)
+        from pyspark.sql import Observation
+
+        obs_c = Observation()
+        mapping = mapping.select("template", "fingerprint", "cluster_id").observe(
+            obs_c, F.count(F.lit(1)).alias("n")
+        )
+        catalog.write(mapping, CLUSTERS_TABLE)
+        lineage.commit(run_id, STAGE_CLUSTERS, rows_out=obs_c.get["n"])
         summary["stages_run"].append(STAGE_CLUSTERS)
         summary["timings"][STAGE_CLUSTERS] = round(_time.perf_counter() - _t0, 3)
     if fail_after_stage == STAGE_CLUSTERS:
@@ -205,11 +217,15 @@ def run_pipeline(
         aggs = interval_aggregate(
             facts, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
         )
+        from pyspark.sql import Observation
+
+        sinks = [r["sink"] for r in config.rules] + [config.default_sink]
+        obs_a = Observation()
+        aggs = aggs.observe(
+            obs_a, *[F.count(F.when(F.col("sink") == s, 1)).alias(s) for s in sinks]
+        )
         catalog.write(aggs, AGG_TABLE, partition_by=["sink"])
-        per_sink = [
-            (r["sink"], r["n"])
-            for r in catalog.read(AGG_TABLE).groupBy("sink").agg(F.count("*").alias("n")).collect()
-        ]
+        per_sink = [(s, n) for s, n in obs_a.get.items() if n > 0]
         lineage.commit_many(run_id, STAGE_AGG, per_sink)
         summary["stages_run"].append(STAGE_AGG)
         summary["timings"][STAGE_AGG] = round(_time.perf_counter() - _t0, 3)
