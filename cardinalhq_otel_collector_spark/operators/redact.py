@@ -40,11 +40,13 @@ def redact(
     """
     patterns = DEFAULT_PII_PATTERNS if patterns is None else patterns
     masked: Column = F.col(text_col)
-    matched: Column = F.lit(False)
     for _, regex, mask in patterns:
-        matched = matched | F.col(text_col).rlike(regex)
         masked = F.regexp_replace(masked, regex, mask)
-    return df.withColumn(flag_col, matched).withColumn(out_col, masked)
+    # has_pii = "masking changed the text": one string compare instead of
+    # one rlike scan per pattern (masks are chosen so no replacement can
+    # itself match a pattern, making the equivalence exact)
+    out = df.withColumn(out_col, masked)
+    return out.withColumn(flag_col, F.col(out_col) != F.col(text_col))
 
 
 def rewrite_attributes(
