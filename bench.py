@@ -58,7 +58,7 @@ BENCH_QUERIES = [
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
-TURNS_PER_SF = 48_000_000
+TURNS_PER_SF = int(os.environ.get("SPARK_GRAFT_TURNS_PER_SF", "48000000"))
 AVG_TURNS_PER_CONV = 8.0
 
 
