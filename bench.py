@@ -130,13 +130,15 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
         best = None
         attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
         for attempt in range(attempts):
-            catalog = Catalog(spark, _mkdtemp("bench_wh_run_"))
+            wh = _mkdtemp("bench_wh_run_")
+            catalog = Catalog(spark, wh)
             tot0, st0 = _cpu_ticks()
             t0 = time.perf_counter()
             summary = run_pipeline(spark, df, catalog, config=cfg, run_id=f"bench{attempt}")
             elapsed = time.perf_counter() - t0
             tot1, st1 = _cpu_ticks()
             steal = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
+            shutil.rmtree(wh, ignore_errors=True)
             if best is None or elapsed < best[0]:
                 best = (elapsed, summary.get("timings", {}), steal)
         elapsed, timings, steal = best
