@@ -46,7 +46,9 @@ def redact(
     # one rlike scan per pattern (masks are chosen so no replacement can
     # itself match a pattern, making the equivalence exact)
     out = df.withColumn(out_col, masked)
-    return out.withColumn(flag_col, F.col(out_col) != F.col(text_col))
+    return out.withColumn(
+        flag_col, F.coalesce(F.col(out_col) != F.col(text_col), F.lit(False))
+    )
 
 
 def rewrite_attributes(
