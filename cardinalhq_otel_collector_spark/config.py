@@ -14,9 +14,35 @@ from dataclasses import dataclass, field
 
 from .operators.redact import DEFAULT_PII_PATTERNS
 
-__all__ = ["PipelineConfig"]
+__all__ = ["PipelineConfig", "parse_duration_seconds"]
 
 _VALID_AGG = {"sum", "avg", "min", "max"}
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def parse_duration_seconds(interval: str) -> int:
+    """Parse a Spark interval string ('1 hour', '10 seconds') to seconds.
+
+    The same grammar F.window accepts for tumbling windows — validated here
+    so a bad interval fails at config time, not inside a running Spark job
+    (aggregationprocessor/config.go:33-47 validates Interval the same way).
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", interval or "")
+    if not m or m.group(2).lower() not in _DURATION_UNITS:
+        raise ValueError(
+            f"bad interval {interval!r}: expected '<n> <unit>' with unit in "
+            f"{sorted(set(_DURATION_UNITS))}"
+        )
+    return int(m.group(1)) * _DURATION_UNITS[m.group(2).lower()]
 
 
 @dataclass
@@ -37,17 +63,22 @@ class PipelineConfig:
     # S5 routing rule table: {rule_id, predicate, sink}
     rules: list[dict] = field(default_factory=list)
     default_sink: str = "default"
-    # S7 aggregation
+    # S7 aggregation (single source of truth; parsed + validated below)
     agg_interval: str = "1 hour"
-    agg_interval_seconds: int = 3600
     default_agg_type: str = "avg"
     # S6 fan-out
     partition_granularity: str = "day"  # day|hour|minute (partition.go default: minute)
     salt_partitions: int = 0  # >0 → salted repartition before write (hot convs)
 
+    @property
+    def agg_interval_seconds(self) -> int:
+        return parse_duration_seconds(self.agg_interval)
+
     def validate(self) -> "PipelineConfig":
-        if self.agg_interval_seconds < 1:
-            # aggregationprocessor/config.go:42-44: interval must be ≥ 1s
+        # aggregationprocessor/config.go:42-44: interval must be ≥ 1s —
+        # parse the actual string the pipeline hands to F.window, so an
+        # invalid interval fails here, not at Spark runtime.
+        if parse_duration_seconds(self.agg_interval) < 1:
             raise ValueError("agg_interval must be >= 1 second")
         if self.default_agg_type not in _VALID_AGG:
             raise ValueError(f"default_agg_type must be one of {_VALID_AGG}")
@@ -62,11 +93,24 @@ class PipelineConfig:
             seen_ids.add(r["rule_id"])
             if r["sink"] == "":
                 raise ValueError("rule sink must be non-empty")
-        for name, regex, _mask in self.pii_patterns:
-            import re
+        import re
 
+        compiled = []
+        for name, regex, _mask in self.pii_patterns:
             try:
-                re.compile(regex)
+                compiled.append((name, re.compile(regex)))
             except re.error as e:
                 raise ValueError(f"bad pii pattern {name}: {e}") from e
+        # redact() derives has_pii from "masking changed the text", which is
+        # only equivalent to "a pattern matched" when no mask can itself
+        # match any configured pattern (else the flag / routing / the
+        # idempotence invariant silently break). Enforce that assumption.
+        for _, _, mask in self.pii_patterns:
+            for pname, pre in compiled:
+                if pre.search(mask):
+                    raise ValueError(
+                        f"pii mask {mask!r} matches pattern {pname!r}: masks "
+                        "must not match any configured pattern (has_pii and "
+                        "redaction idempotence rely on it)"
+                    )
         return self

@@ -11,16 +11,20 @@ order-dependent; a distributed engine must not be, so this is a
           ``template`` string; ``fingerprint = xxhash64(template)``.
           Pure expressions, no shuffle beyond what downstream needs.
 
-  pass 2 (distinct templates only — tiny by construction): char-trigram
-          MinHash over the *distinct* template strings, band-bucket LSH,
-          then union-find on the driver over band collisions →
-          ``cluster_id`` (= min fingerprint of the cluster, so ids are
-          stable under any input order/partitioning). The mapping is
-          broadcast-joined back — rows never leave the JVM.
+  pass 2 (distinct templates only): char-trigram MinHash over the
+          *distinct* template strings, band-bucket LSH, then DISTRIBUTED
+          connected components (iterative min-label propagation over band
+          buckets) → ``cluster_id`` (= min fingerprint of the component, so
+          ids are stable under any input order/partitioning). The driver
+          never holds the template set: for log-shaped text templates are
+          code sites (tiny), but free-form agent-transcript turns do NOT
+          collapse under masking — distinct templates can approach distinct
+          texts, so every stage here is a DataFrame op (explode → groupBy →
+          iterative join), O(templates · bands) shuffle, no collect.
 
-At 10^12 rows the distinct-template set stays log-structured-small
-(templates are code sites, not data), so pass 2 is O(templates), not
-O(rows) — the scale-critical property.
+Label propagation converges in O(component diameter in band-graph hops)
+iterations; each iteration is one groupBy + two joins + one scalar action
+(a decimal label-sum, strictly decreasing until the fixpoint).
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "mask_template",
     "fingerprint",
+    "template_bands",
     "cluster_templates",
     "attach_clusters",
     "fingerprint_and_cluster",
@@ -39,7 +44,7 @@ __all__ = [
 _MASKS: list[tuple[str, str]] = [
     # uuid before hex before number — order matters.
     (r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<id>"),
-    (r"\b[0-9a-f]{8,}\b", "<hex>"),
+    (r"\b[0-9a-fA-F]{8,}\b", "<hex>"),  # case-insensitive: DEADBEEF09 masks too
     (r"\d+", "<num>"),
 ]
 
@@ -52,36 +57,100 @@ def mask_template(col: Column) -> Column:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Pass 1: template + fingerprint columns (pure projection)."""
+    """Pass 1: template + fingerprint columns (pure projection).
+
+    NULL text yields a NULL template (valid input — TRANSCRIPT_SCHEMA marks
+    text nullable); clustering skips NULL templates and leaves cluster_id
+    NULL for those rows.
+    """
     tpl = mask_template(F.col(text_col))
     return df.withColumn("template", tpl).withColumn("fingerprint", F.xxhash64(tpl))
 
 
-def _minhash_bands_py(template: str, n_hashes: int, band_size: int) -> list[str]:
-    """Char-trigram MinHash band keys for one template (driver-side).
+def template_bands(
+    templates: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(fingerprint, band-bucket key) rows via char-trigram MinHash LSH.
 
-    Each of the ``n_hashes`` hash functions is md5(seed || trigram),
-    minimized lexicographically; bands of ``band_size`` consecutive hashes
-    concatenated → LSH bucket keys. Plain Python by design: this runs on
-    the *distinct-template* set only (already collected for union-find),
-    never on the row stream. A first cut used Spark higher-order functions
-    here, but stacked ``F.transform`` lambdas corrupted each other when
-    Catalyst collapsed projections (session-state-dependent lambda-variable
-    capture observed on PySpark 4.1), so pass 2 is deliberately
-    driver-side and exactly as deterministic as the template set.
+    All JVM expressions (explode over positions + min-aggregate per seed —
+    deliberately NO higher-order-function lambdas: stacked ``F.transform``
+    lambdas corrupted each other when Catalyst collapsed projections on
+    PySpark 4.1). The recipe is byte-compatible with the previous
+    driver-side implementation: grams = {t[i:i+3] | 0 ≤ i < max(len-2, 1)},
+    hash s = min over grams of md5("<s>|" + gram), band key =
+    "<b>#h_{b·size}#…".
     """
-    import hashlib
-
-    grams = {template[i : i + 3] for i in range(max(len(template) - 2, 1))}
-    sig = [
-        min(hashlib.md5((f"{s}|" + g).encode("utf-8")).hexdigest() for g in grams)
-        for s in range(n_hashes)
-    ]
+    tpl = (
+        templates.select("template", "fingerprint")
+        .where(F.col("template").isNotNull())
+        .distinct()
+    )
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("template") - 2, F.lit(1)))
+    ).alias("pos")
+    grams = (
+        tpl.select("fingerprint", "template", pos)
+        .select(
+            "fingerprint",
+            F.col("template").substr(F.col("pos"), F.lit(3)).alias("g"),
+        )
+        .distinct()
+    )
+    sig = grams.groupBy("fingerprint").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("g")))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    )
     n_bands = n_hashes // band_size
-    return [
-        "#".join([str(b)] + sig[b * band_size : (b + 1) * band_size])
-        for b in range(n_bands)
-    ]
+    out: DataFrame | None = None
+    for b in range(n_bands):
+        cols = [F.lit(str(b))] + [
+            F.col(f"h{b * band_size + j}") for j in range(band_size)
+        ]
+        part = sig.select("fingerprint", F.concat_ws("#", *cols).alias("band"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _propagate_min_labels(bands: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Distributed connected components over the template↔band bipartite
+    graph: labels start as fingerprints; each round every band bucket takes
+    the min label of its members and every member takes the min over its
+    buckets. Fixpoint = every component labeled with its min fingerprint —
+    identical to union-find, but the driver never sees a template.
+    """
+    labels = (
+        bands.select("fingerprint").distinct().withColumn("label", F.col("fingerprint"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iters):
+        banded = bands.join(labels, "fingerprint")
+        bmin = banded.groupBy("band").agg(F.min("label").alias("bmin"))
+        prop = (
+            banded.join(bmin, "band")
+            .groupBy("fingerprint")
+            .agg(F.min("bmin").alias("plabel"))
+        )
+        new_labels = (
+            labels.join(prop, "fingerprint", "left")
+            .select(
+                "fingerprint",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage between rounds
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # min-propagation strictly decreases until fixpoint
+            break
+        prev_sum = new_sum
+    return labels
 
 
 def cluster_templates(
@@ -89,55 +158,30 @@ def cluster_templates(
 ) -> DataFrame:
     """Pass 2: (template, fingerprint) → + cluster_id.
 
-    Input must be the DISTINCT templates (small). Band collisions are
-    resolved by union-find on the driver; cluster_id = min fingerprint in
-    the cluster (order-independent, stable).
+    Input should be the DISTINCT (template, fingerprint) pairs. Fully
+    distributed: band generation is explode+groupBy, component resolution
+    is iterative min-label propagation — no driver-side collect, so
+    free-text template sets that don't collapse under masking (agent
+    transcripts) cannot OOM the driver. cluster_id = min fingerprint in the
+    LSH-connected component (order/partitioning independent). NULL
+    templates pass through with NULL cluster_id.
     """
-    rows = [
-        {"fingerprint": r["fingerprint"],
-         "bands": _minhash_bands_py(r["template"], n_hashes, band_size)}
-        for r in templates.select("template", "fingerprint").collect()
-    ]  # distinct templates only — tiny
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    bucket_to_fp: dict[str, int] = {}
-    for r in rows:
-        for band in r["bands"]:
-            if band in bucket_to_fp:
-                union(bucket_to_fp[band], r["fingerprint"])
-            else:
-                bucket_to_fp[band] = r["fingerprint"]
-    # cluster id = min fingerprint reachable; second pass for canonical min
-    cluster_of = {r["fingerprint"]: find(r["fingerprint"]) for r in rows}
-    roots: dict[int, int] = {}
-    for fp, root in cluster_of.items():
-        roots[root] = min(roots.get(root, fp), fp)
-    mapping = [(fp, roots[root]) for fp, root in cluster_of.items()]
-    spark = templates.sparkSession
-    map_df = spark.createDataFrame(mapping, "fingerprint long, cluster_id long")
-    return templates.join(F.broadcast(map_df), "fingerprint", "left")
+    bands = template_bands(templates, n_hashes, band_size)
+    mapping = _propagate_min_labels(bands).withColumnRenamed("label", "cluster_id")
+    return templates.join(mapping, "fingerprint", "left")
 
 
 def attach_clusters(df: DataFrame) -> DataFrame:
     """Given a frame that already has (template, fingerprint) columns
-    (pass 1), compute the cluster map from its distinct templates and
-    broadcast-join it back. Call this AFTER persisting the upstream frame:
-    the distinct-template scan then reads the cache instead of recomputing
-    the whole chain (the two-pass structure of SURVEY.md §7 step 5)."""
+    (pass 1), compute the cluster map from its distinct templates and join
+    it back. Call this AFTER persisting the upstream frame: the
+    distinct-template scan then reads the cache instead of recomputing the
+    whole chain (the two-pass structure of SURVEY.md §7 step 5). The join
+    is left to AQE: broadcast when the template set is small (the log-
+    shaped common case), shuffle join when free text blows it up."""
     distinct = df.select("template", "fingerprint").distinct()
     clustered = cluster_templates(distinct).select("fingerprint", "cluster_id").distinct()
-    return df.join(F.broadcast(clustered), "fingerprint", "left")
+    return df.join(clustered, "fingerprint", "left")
 
 
 def fingerprint_and_cluster(df: DataFrame, text_col: str = "text") -> DataFrame:

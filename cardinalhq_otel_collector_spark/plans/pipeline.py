@@ -47,12 +47,26 @@ from .lineage import LineageLog
 
 __all__ = [
     "decorate",
+    "slim_facts",
     "run_pipeline",
     "read_routed_with_clusters",
     "ROUTED_TABLE",
     "AGG_TABLE",
     "CLUSTERS_TABLE",
 ]
+
+
+def slim_facts(df: DataFrame) -> DataFrame:
+    """Fact-table slimming applied to BOTH the batch and streaming routed
+    sinks (they must stay schema-identical twins): 'template' is derivable
+    (mask regex over text) and recomputed by the clusters stage from a
+    pruned read instead of being stored per row; 'text_redacted' is stored
+    only where it differs from text (readers coalesce it back). At 10^12
+    rows the storage/shuffle bandwidth of two extra text-sized columns
+    dwarfs the recompute CPU."""
+    return df.drop("template").withColumn(
+        "text_redacted", F.when(F.col("has_pii"), F.col("text_redacted"))
+    )
 
 ROUTED_TABLE = "routed"
 AGG_TABLE = "sink_aggregates"
@@ -122,15 +136,8 @@ def run_pipeline(
 
     import time as _time
 
-    decorated = decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
-    # Fact-table slimming: 'template' is derivable (mask regex over text) —
-    # recomputed in the clusters stage from a pruned read instead of being
-    # stored per row; 'text_redacted' is stored only where it differs from
-    # text (read side: coalesce(text_redacted, text)). At 10^12 rows the
-    # storage/shuffle bandwidth of two extra text-sized columns dwarfs the
-    # recompute CPU.
-    decorated = decorated.drop("template").withColumn(
-        "text_redacted", F.when(F.col("has_pii"), F.col("text_redacted"))
+    decorated = slim_facts(
+        decorate(transcripts, config, tools=tools, roles=roles, cluster=False)
     )
     if config.salt_partitions > 0:
         # bound partition size under hot conversations: spread each conv's
@@ -237,11 +244,19 @@ def run_pipeline(
 def read_routed_with_clusters(catalog: Catalog, sink: str | None = None) -> DataFrame:
     """Read the routed fact table joined (broadcast) with the cluster
     dimension — how consumers get cluster_id without it being burned into
-    10^12 fact rows."""
+    10^12 fact rows.
+
+    The writer stores ``text_redacted`` only where it differs from ``text``
+    (fact-table slimming above); this reader restores the full contract with
+    ``coalesce(text_redacted, text)`` so the storage optimization is
+    invisible to consumers."""
     facts = (
         catalog.read_partition(ROUTED_TABLE, sink=sink)
         if sink is not None
         else catalog.read(ROUTED_TABLE)
+    )
+    facts = facts.withColumn(
+        "text_redacted", F.coalesce(F.col("text_redacted"), F.col("text"))
     )
     dim = catalog.read(CLUSTERS_TABLE).select("fingerprint", "cluster_id").distinct()
     return facts.join(F.broadcast(dim), "fingerprint", "left")

@@ -18,6 +18,18 @@ from pyspark.sql import SparkSession
 __all__ = ["build_spark", "stop_spark"]
 
 
+def _submit_master() -> str | None:
+    """Master supplied by spark-submit, read from its public conf channels:
+    --master lands in PYSPARK_SUBMIT_ARGS / spark.master in the JVM default
+    conf file the launcher exports (no private builder internals)."""
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    toks = args.split()
+    for i, tok in enumerate(toks):
+        if tok == "--master" and i + 1 < len(toks):
+            return toks[i + 1]
+    return None
+
+
 def build_spark(
     app_name: str = "cardinalhq-otel-collector-spark",
     cores: int | None = None,
@@ -66,11 +78,16 @@ def build_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    # Respect an externally-provided master (spark-submit / cluster); only
-    # default to local[k] when none is set.
-    if not os.environ.get("SPARK_MASTER") and "spark.master" not in {
-        k for k, _ in (builder._options.items() if hasattr(builder, "_options") else [])
-    }:
+    # Respect an externally-provided master (spark-submit sets spark.master
+    # via the public channels: the submit conf or the MASTER env); only
+    # default to local[k] when none is configured.
+    external_master = (
+        os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+        or (extra_conf or {}).get("spark.master")
+        or _submit_master()
+    )
+    if not external_master:
         builder = builder.master(f"local[{cores_str}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
-from ..plans.pipeline import decorate
+from ..plans.pipeline import decorate, slim_facts
 from ..sources.catalog import add_time_partitions
 
 __all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline"]
@@ -81,7 +81,12 @@ def run_streaming_pipeline(
     stream = stream_transcripts(spark, source_dir)
     decorated = decorate(stream, config, cluster=False)
 
-    routed = add_time_partitions(decorated, granularity=config.partition_granularity)
+    # Same slimming projection as the batch routed table — the two fact
+    # tables are twins and must stay schema/content-identical so consumers
+    # (and the batch clusters stage) can treat them interchangeably.
+    routed = add_time_partitions(
+        slim_facts(decorated), granularity=config.partition_granularity
+    )
     trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
     q_routed = (
         routed.writeStream.format("parquet")

@@ -15,7 +15,27 @@ def test_valid_config():
 def test_interval_minimum():
     """aggregationprocessor/config.go:42-44: interval must be >= 1s."""
     with pytest.raises(ValueError, match=">= 1 second"):
-        PipelineConfig(rules=_rules(), agg_interval_seconds=0).validate()
+        PipelineConfig(rules=_rules(), agg_interval="0 seconds").validate()
+
+
+def test_interval_string_is_validated():
+    """The interval actually used by F.window is the string — a bad string
+    must fail at config time, not inside a running Spark job."""
+    with pytest.raises(ValueError, match="bad interval"):
+        PipelineConfig(rules=_rules(), agg_interval="one hour").validate()
+    with pytest.raises(ValueError, match="bad interval"):
+        PipelineConfig(rules=_rules(), agg_interval="5 fortnights").validate()
+    assert PipelineConfig(rules=_rules(), agg_interval="90 seconds").validate().agg_interval_seconds == 90
+
+
+def test_mask_must_not_match_any_pattern():
+    """has_pii is derived from 'masking changed the text' — only valid when
+    no mask can itself match a configured pattern."""
+    with pytest.raises(ValueError, match="must not match"):
+        PipelineConfig(
+            rules=_rules(),
+            pii_patterns=[("digits", r"\d+", "got 1 digit")],
+        ).validate()
 
 
 def test_bad_agg_type():

@@ -1,6 +1,7 @@
 from pyspark.sql import functions as F
 
 from cardinalhq_otel_collector_spark.operators.fingerprint import (
+    cluster_templates,
     fingerprint,
     fingerprint_and_cluster,
 )
@@ -64,6 +65,57 @@ def test_cluster_groups_similar_templates(spark):
     c3 = by_text["zzz completely unrelated words qqq"]["cluster_id"]
     assert c1 == c2
     assert c3 != c1
+
+
+def test_null_text_clusters_without_error(spark):
+    """NULL text is valid (TRANSCRIPT_SCHEMA marks text nullable): pass 1
+    yields a NULL template, pass 2 skips it, cluster_id stays NULL — the
+    pipeline must not abort (regression: driver-side pass 2 crashed on
+    len(None))."""
+    df = spark.createDataFrame(
+        [("connection 1 from host server-1 retry 1 timeout 5ms",), (None,), ("",)],
+        "text string",
+    )
+    rows = {r["text"]: r for r in fingerprint_and_cluster(df).collect()}
+    assert rows[None]["template"] is None
+    assert rows[None]["cluster_id"] is None
+    assert rows["connection 1 from host server-1 retry 1 timeout 5ms"]["cluster_id"] is not None
+
+
+def test_hex_mask_is_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("block DEADBEEF09 and deadbeef09 match",)], "text string"
+    )
+    assert (
+        fingerprint(df).collect()[0]["template"]
+        == "block <hex> and <hex> match"
+    )
+
+
+def test_cluster_scales_past_driver_memory_shape(spark):
+    """Free-form transcript text does NOT collapse under masking — distinct
+    templates ≈ distinct rows. Pass 2 must stay fully distributed (no
+    driver-side collect of the template set): 100k unique templates cluster
+    without the driver ever holding them."""
+    from pyspark.sql import functions as F
+
+    def word(salt: str):
+        # high-entropy letter-only word (~52-char alphabet, no digits so
+        # masking keeps templates unique)
+        b64 = F.base64(F.unhex(F.md5(F.concat(F.lit(salt), F.col("id").cast("string")))))
+        return F.translate(F.substring(b64, 1, 10), "0123456789+/", "QsRtSuTvUwXy")
+
+    df = spark.range(100_000).select(
+        F.concat_ws(" ", word("a"), word("b"), word("c")).alias("text")
+    )
+    tpl = fingerprint(df).select("template", "fingerprint").distinct()
+    # free-text corpora use wider bands (band_size=4 → collision needs 4
+    # matching minhashes) — the log-template default (2) is tuned for
+    # code-site templates and over-merges high-volume random text.
+    out = cluster_templates(tpl, n_hashes=8, band_size=4)
+    assert out.count() == 100_000
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert n_clusters > 90_000
 
 
 def test_fingerprint_no_python_on_row_path(spark, transcripts_df):
