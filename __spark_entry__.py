@@ -1,11 +1,14 @@
 """Driver contract: entry / queries / oracle_sql.
 
-Each ``queries()`` entry exercises one operator family from SURVEY.md §2
-over the driver's parquet tables; the matching ``oracle_sql()`` string is
-the same computation in DuckDB SQL. Column names/aliases are kept
-identical on both sides. Floating-point aggregates are made
-engine-portable by summing in DECIMAL (exact) and rounding only at the
-end; orderings always carry an explicit integer tiebreaker.
+Every ``queries()`` entry calls the LIBRARY operators
+(``cardinalhq_otel_collector_spark.operators.*``) over the driver's parquet
+tables; the matching ``oracle_sql()`` string is the same computation in
+DuckDB SQL. A regression in any operator turns its CORRECTNESS row red —
+the oracle validates this repo's code, not Spark's SQL engine.
+
+Column names/aliases are identical on both sides. Floating-point
+aggregates are engine-portable: sums accumulate in DECIMAL (exact) and cast
+to DOUBLE at the end; orderings carry explicit integer tiebreakers.
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -20,51 +24,527 @@ _TABLES = [
 ]
 
 
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
     for t in _TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-
-
-def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _views(spark, sf_dir)
-        return spark.sql(sql)
-
-    return run
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 # ---------------------------------------------------------------------------
-# Spark-side SQL (Java regex dialect, Spark function names) and DuckDB oracle
-# SQL (RE2 dialect, DuckDB function names) per query.
+# Shared fixtures: the routing rule table used by the route() queries (the
+# same table drives the DuckDB CASE oracle via routing_case_sql()).
 # ---------------------------------------------------------------------------
 
-_ROUTE_CASE = """CASE WHEN event_type = 'error' THEN 'errors'
-                WHEN k >= 80 THEN 'hot_keys'
-                WHEN value >= 150.0 THEN 'big_values'
+_EVENT_RULES = [
+    {"rule_id": 1, "predicate": "event_type = 'error'", "sink": "errors"},
+    {"rule_id": 2, "predicate": "k >= 80", "sink": "hot_keys"},
+    {"rule_id": 3, "predicate": "value >= 150.0", "sink": "big_values"},
+]
+
+_DEC = "decimal(18,6)"
+
+
+def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 analogue on the events table: JSON-prop extraction (otlpjson
+    connector shape, __spark_entry__ parse stage)."""
+    return _read(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Library-backed queries (full DuckDB oracle each)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A8 + S1/S5/S7: parse → route (first-match rules) → per-sink
+    interval aggregate (aggregationprocessor aggregate.go:228-294;
+    routingconnector manifest :282)."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_spark.operators.route import route
+
+    routed = route(_parsed_events(spark, sf_dir), _EVENT_RULES)
+    agg = interval_aggregate(
+        routed.withColumn("_v", F.col("value").cast(_DEC)),
+        keys=["sink", "event_type"], interval="1 hour", value_col="_v",
+    )
+    return agg.select(
+        "sink", "event_type", "bucket_start", "n",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+def q_route_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.route import route
+
+    routed = route(_parsed_events(spark, sf_dir), _EVENT_RULES)
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 interval stats (aggregate.go:204-294)."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import interval_stats
+
+    return interval_stats(
+        _read(spark, sf_dir, "events"), keys=["event_type"], value_col="value",
+        interval="1 hour",
+    )
+
+
+def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.stateful import cumulative_to_delta
+
+    out = cumulative_to_delta(
+        _read(spark, sf_dir, "events"), series=["user_id"], value_col="value",
+        tiebreak=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "delta")
+
+
+def q_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.stateful import delta_to_cumulative
+
+    df = _read(spark, sf_dir, "events").withColumn("_v", F.col("value").cast(_DEC))
+    out = delta_to_cumulative(df, series=["user_id"], value_col="_v", tiebreak=["event_id"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("cumulative").cast("double").alias("cumulative")
+    )
+
+
+def q_delta_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.stateful import delta_to_rate
+
+    out = delta_to_rate(
+        _read(spark, sf_dir, "events"), series=["user_id"], value_col="value",
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", (F.round("rate", 6) + 0.0).alias("rate")
+    )
+
+
+def q_metric_start_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.stateful import fill_start_time
+
+    filled = fill_start_time(_read(spark, sf_dir, "events"), series=["user_id"])
+    return filled.groupBy("user_id").agg(
+        F.min("start_ts").alias("start_ts"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_interval_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.stateful import interval_last
+
+    out = interval_last(
+        _read(spark, sf_dir, "events"), series=["user_id"], value_col="value",
+        interval="1 hour", tiebreak=["event_id"],
+    )
+    return out.select("user_id", "bucket_start", "last_value")
+
+
+def q_log_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.sampling import log_dedup
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k")
+    )
+    out = log_dedup(ev, body_col="event_type", interval="1 minute", extra_keys=["k"])
+    return out.select("bucket_start", "event_type", "k", "dup_count")
+
+
+def q_probabilistic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.sampling import probabilistic_sample
+
+    out = probabilistic_sample(_read(spark, sf_dir, "events"), "event_id", 0.25)
+    return out.select("event_id", "event_type")
+
+
+def q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.sampling import tail_sample
+
+    out = tail_sample(
+        _read(spark, sf_dir, "events"), group_col="user_id",
+        keep_predicate="event_type = 'error'",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_group_by_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.grouping import assemble_ordered
+
+    return assemble_ordered(
+        _read(spark, sf_dir, "events"), group_col="user_id",
+        order_cols=["ts", "event_id"], payload_col="event_type",
+    )
+
+
+def q_summary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the summary explode over lineitem-derived Summary rows
+    (summarysplitprocessor/metrics.go:91-198)."""
+    from cardinalhq_otel_collector_spark.operators.summary_split import summary_split
+
+    s = _read(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_returnflag").alias("flag")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qsum"),
+        F.min("l_quantity").cast("double").alias("qmin"),
+        F.max("l_quantity").cast("double").alias("qmax"),
+    )
+    summaries = s.select(
+        F.concat(F.lit("lineitem.qty."), "flag").alias("name"),
+        F.col("cnt").alias("count"),
+        F.col("qsum").alias("sum"),
+        F.array(
+            F.struct(F.lit(0.0).alias("q"), F.col("qmin").alias("v")),
+            F.struct(F.lit(1.0).alias("q"), F.col("qmax").alias("v")),
+        ).alias("quantiles"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.lit(1).cast("long").alias("start_ts_ms"),
+    )
+    return summary_split(summaries).select("metric", "value")
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 broadcast enrichment; unknown keys behave like auth-denied
+    (serverauth.go:181-222) → 'unknown'."""
+    from cardinalhq_otel_collector_spark.operators.enrich import enrich
+
+    lookup = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    out = enrich(
+        _read(spark, sf_dir, "events"), lookup, on="user_id",
+        fill_unknown={"segment": "unknown"},
+    )
+    return out.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8sattributes/geoip-style chained broadcast lookups."""
+    from cardinalhq_otel_collector_spark.operators.enrich import enrich
+
+    nation = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    region = _read(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    out = enrich(enrich(_read(spark, sf_dir, "customer"), nation, on="c_nationkey"),
+                 region, on="n_regionkey")
+    return out.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+    )
+
+
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 pass 1 over synthetic log lines: mask → template → count."""
+    from cardinalhq_otel_collector_spark.operators.fingerprint import fingerprint
+
+    lines = _read(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("user "), F.col("user_id").cast("string"),
+            F.lit(" did "), F.col("event_type"),
+            F.lit(" k="), F.get_json_object("props", "$.k"),
+        ).alias("line")
+    )
+    return fingerprint(lines, text_col="line").groupBy("template").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_sumo_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the real sumo_ic line (sumo_marshaler.go:70-146): _source*
+    attrs quoted, 'fields' = remaining resource attrs (sorted keys),
+    'message' = log attrs + body under 'log'."""
+    from cardinalhq_otel_collector_spark.operators.marshal import sumo_ic_lines
+
+    ev = _read(spark, sf_dir, "events")
+    out = sumo_ic_lines(
+        ev,
+        source_name=F.lit("events"),
+        source_host=F.concat(F.lit("host-"), F.col("user_id").cast("string")),
+        source_category=F.col("event_type"),
+        body=F.col("props"),
+        ts=F.col("ts"),
+        fields={"account": F.lit("dev"), "region": F.lit("us-east-1")},
+        message_attrs={"user": F.concat(F.lit("u"), F.col("user_id").cast("string"))},
+    )
+    return out.select("event_id", "line")
+
+
+def q_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 time-partitioned object keys (internal/upload/partition.go:59-134)."""
+    from cardinalhq_otel_collector_spark.functions import object_key
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        object_key(
+            F.col("ts"), "bucket/prefix", "", "events", F.col("event_type"),
+            fmt="parquet", granularity="hour",
+        ).alias("object_key"),
+    )
+
+
+def q_unroll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.unroll import unroll
+
+    docs = _read(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    return unroll(docs, "toks", "w").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+
+
+def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 otlp_json byte shape (marshaler.go:53-58): marshal each event to
+    an OTLP/JSON envelope, parse it back — the oracle is the identity
+    projection, so any byte-shape drift breaks the round trip."""
+    from cardinalhq_otel_collector_spark.operators.marshal import (
+        otlp_json_logs,
+        parse_otlp_json_logs,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    m = otlp_json_logs(
+        ev, body=F.col("props"), ts=F.col("ts"),
+        attrs={"event_type": F.col("event_type")},
+    )
+    p = parse_otlp_json_logs(m)
+    return p.select(
+        "event_id",
+        F.col("parsed_body").alias("body"),
+        F.col("parsed_ts").cast("timestamp_ntz").alias("ts2"),
+        F.element_at("parsed_attrs", "event_type").alias("event_type"),
+    )
+
+
+def q_genai_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genainormalizerprocessor analogue (components.go:126,:713): role
+    synonyms → canonical, model string → (gen_ai.system, family)."""
+    from cardinalhq_otel_collector_spark.operators.genai import normalize_genai
+
+    raw_role = (
+        F.when(F.pmod("event_id", F.lit(6)) == 0, "Human")
+        .when(F.pmod("event_id", F.lit(6)) == 1, "AI")
+        .when(F.pmod("event_id", F.lit(6)) == 2, "bot")
+        .when(F.pmod("event_id", F.lit(6)) == 3, "SYSTEM")
+        .when(F.pmod("event_id", F.lit(6)) == 4, "function")
+        .otherwise("user")
+    )
+    raw_model = (
+        F.when(F.pmod("user_id", F.lit(4)) == 0, "gpt-4-turbo-2024-04-09")
+        .when(F.pmod("user_id", F.lit(4)) == 1, "claude-3-opus-20240229")
+        .when(F.pmod("user_id", F.lit(4)) == 2, "gemini-1.5-pro-latest")
+        .otherwise("llama-3-70b")
+    )
+    turns = _read(spark, sf_dir, "events").select(
+        "event_id", raw_role.alias("role"), raw_model.alias("model")
+    )
+    out = normalize_genai(turns, role_col="role", model_col="model")
+    return out.select(
+        "event_id", "role", "role_raw", "gen_ai_system", "gen_ai_request_model"
+    )
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics explicit-bounds latency histogram (SURVEY §2B)."""
+    from cardinalhq_otel_collector_spark.operators.histogram import latency_histogram
+
+    out = latency_histogram(
+        _read(spark, sf_dir, "events"), keys=["event_type"], value_col="value",
+        bounds=[50.0, 100.0, 200.0, 400.0], interval="1 hour",
+    )
+    return out.select("event_type", "bucket_start", "bucket_idx", "le", "bucket_count")
+
+
+def q_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.histogram import red_metrics
+
+    return red_metrics(
+        _read(spark, sf_dir, "events"), keys=["event_type"], value_col="value",
+        error_predicate="value >= 195.0", interval="1 hour",
+    )
+
+
+def q_agg_type_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 — per-series agg-type override + additional_attributes
+    (aggregationprocessor/config.go:24-31, aggregate.go:204-226)."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import aggregate_with_override
+
+    agg_type = (
+        F.when(F.col("event_type") == "click", "sum")
+        .when(F.col("event_type") == "view", "avg")
+        .when(F.col("event_type") == "error", "max")
+        .when(F.col("event_type") == "signup", "min")
+        .otherwise("avg")
+    )
+    ev = _read(spark, sf_dir, "events").withColumn("agg_type", agg_type)
+    return aggregate_with_override(
+        ev, keys=["event_type"], value_col="value", agg_type_col="agg_type",
+        interval="1 hour",
+        additional_attributes={"aggregated": "true"},
+    )
+
+
+def q_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roundrobinconnector (manifest :281): deterministic md5-mod spread."""
+    from cardinalhq_otel_collector_spark.sources.connectors import round_robin_assign
+
+    out = round_robin_assign(_read(spark, sf_dir, "events"), n_ways=5, key_col="event_id")
+    return out.groupBy("rr_sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- training-data pipeline ops over documents/embeddings -------------------
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.textstats import token_counts
+
+    out = token_counts(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_ws_tokens", F.col("n_chars").alias("n_chars_calc"),
+                      "n_tokens_est")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.textstats import quality_score
+
+    out = quality_score(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "distinct_ratio", "punct_ratio", "mean_word_len", "quality"
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.textstats import lang_id
+
+    out = lang_id(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_guess")
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(docs, threshold=0.02)
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(docs, n_hashes=2, band_size=1)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.dedup import simhash
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, bits=16)
+
+
+def q_doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.dedup import simhash_candidates
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_candidates(docs, bits=16, band_bits=4)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(q, emb, k=3).select("qid", "vec_id", "cosine", "nn_rank")
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalhq_otel_collector_spark.operators.similarity import sign_buckets
+
+    out = sign_buckets(_read(spark, sf_dir, "embeddings"), bits=4)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def q_emb_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane cosine LSH bucket assignment (the ANN scale path's
+    candidate generator) — deterministic md5-derived hyperplanes."""
+    from cardinalhq_otel_collector_spark.operators.similarity import hyperplane_buckets
+
+    return hyperplane_buckets(_read(spark, sf_dir, "embeddings"), bits=4, n_bands=2)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidates → exact decimal-summed rerank."""
+    from cardinalhq_otel_collector_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, emb, k=3, bits=4, n_bands=2)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal decode plumbing (codec stubbed — the
+    deterministic md5 feature stand-in IS the oracle contract here)."""
+    from cardinalhq_otel_collector_spark.operators.multimodal import decode_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = decode_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic aggregation parity (engine-level, deliberately raw SQL —
+    there is no bespoke operator to exercise here)."""
+    _views(spark, sf_dir)
+    return spark.sql(_TPCH_Q1_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_ROUTE_CASE_DUCK = """CASE WHEN (event_type = 'error') THEN 'errors'
+                WHEN (k >= 80) THEN 'hot_keys'
+                WHEN (value >= 150.0) THEN 'big_values'
                 ELSE 'default' END"""
 
-# A1-A8 + S1/S5/S7: parse -> route -> per-sink interval aggregate
-# (aggregationprocessor aggregate.go:228-294; routingconnector manifest :282)
-_PIPELINE_ROUTE_AGG_SPARK = f"""
-WITH parsed AS (
-  SELECT event_id, user_id, event_type, value, ts,
-         CAST(get_json_object(props, '$.k') AS INT) AS k
-  FROM events
-), routed AS (
-  SELECT *, {_ROUTE_CASE} AS sink FROM parsed
-)
-SELECT sink, event_type, date_trunc('hour', ts) AS bucket_start,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM routed GROUP BY sink, event_type, bucket_start
-"""
 _PIPELINE_ROUTE_AGG_DUCK = f"""
 WITH parsed AS (
   SELECT event_id, user_id, event_type, value, ts,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events
 ), routed AS (
-  SELECT *, {_ROUTE_CASE} AS sink FROM parsed
+  SELECT *, {_ROUTE_CASE_DUCK} AS sink FROM parsed
 )
 SELECT sink, event_type, date_trunc('hour', ts) AS bucket_start,
        COUNT(*) AS n,
@@ -72,19 +552,14 @@ SELECT sink, event_type, date_trunc('hour', ts) AS bucket_start,
 FROM routed GROUP BY sink, event_type, bucket_start
 """
 
-_ROUTE_FANOUT_SPARK = f"""
-SELECT {_ROUTE_CASE.replace("k >=", "CAST(get_json_object(props, '$.k') AS INT) >=")} AS sink,
-       COUNT(*) AS n
-FROM events GROUP BY 1
-"""
 _ROUTE_FANOUT_DUCK = f"""
-SELECT {_ROUTE_CASE.replace("k >=", "CAST(json_extract_string(props, '$.k') AS INTEGER) >=")} AS sink,
-       COUNT(*) AS n
-FROM events GROUP BY 1
+WITH parsed AS (
+  SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+)
+SELECT {_ROUTE_CASE_DUCK} AS sink, COUNT(*) AS n FROM parsed GROUP BY 1
 """
 
-# A3/A4: interval aggregate with sum/avg/min/max (aggregate.go:204-294)
-_INTERVAL_AGG_SQL = """
+_INTERVAL_AGG_DUCK = """
 SELECT event_type, date_trunc('hour', ts) AS bucket_start,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
@@ -93,15 +568,13 @@ SELECT event_type, date_trunc('hour', ts) AS bucket_start,
 FROM events GROUP BY event_type, bucket_start
 """
 
-# cumulativetodeltaprocessor (manifest :240)
-_CUM_TO_DELTA_SQL = """
+_CUM_TO_DELTA_DUCK = """
 SELECT event_id, user_id, ts,
        value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
 FROM events
 """
 
-# deltatocumulativeprocessor (manifest :242)
-_DELTA_TO_CUM_SQL = """
+_DELTA_TO_CUM_DUCK = """
 SELECT event_id, user_id, ts,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
@@ -109,15 +582,6 @@ SELECT event_id, user_id, ts,
 FROM events
 """
 
-# deltatorateprocessor (manifest :243): delta / Δt
-_DELTA_TO_RATE_SPARK = """
-SELECT event_id, user_id, ts,
-       ROUND((value - LAG(value) OVER w)
-             / ((unix_micros(CAST(ts AS TIMESTAMP)) - LAG(unix_micros(CAST(ts AS TIMESTAMP))) OVER w)
-                / 1000000.0), 6) + 0.0 AS rate
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
 _DELTA_TO_RATE_DUCK = """
 SELECT event_id, user_id, ts,
        ROUND((value - LAG(value) OVER w)
@@ -126,13 +590,11 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
-# metricstarttimeprocessor (manifest :255)
-_START_TIME_SQL = """
+_START_TIME_DUCK = """
 SELECT user_id, MIN(ts) AS start_ts, COUNT(*) AS n FROM events GROUP BY user_id
 """
 
-# intervalprocessor: last value per series per interval (manifest :250)
-_INTERVAL_LAST_SQL = """
+_INTERVAL_LAST_DUCK = """
 SELECT user_id, bucket_start, value AS last_value FROM (
   SELECT user_id, date_trunc('hour', ts) AS bucket_start, value,
          ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
@@ -140,54 +602,34 @@ SELECT user_id, bucket_start, value AS last_value FROM (
   FROM events) t WHERE rn = 1
 """
 
-# logdedupprocessor (manifest :253)
-_LOG_DEDUP_SPARK = """
-SELECT date_trunc('minute', ts) AS bucket_start, event_type,
-       get_json_object(props, '$.k') AS k, COUNT(*) AS dup_count
-FROM events GROUP BY 1, 2, 3
-"""
 _LOG_DEDUP_DUCK = """
 SELECT date_trunc('minute', ts) AS bucket_start, event_type,
        json_extract_string(props, '$.k') AS k, COUNT(*) AS dup_count
 FROM events GROUP BY 1, 2, 3
 """
 
-# probabilisticsamplerprocessor (manifest :257): deterministic md5 threshold
-_PROB_SAMPLE_SPARK = """
-SELECT event_id, event_type FROM events
-WHERE substring(md5(CAST(event_id AS STRING)), 1, 4) < '4000'
-"""
 _PROB_SAMPLE_DUCK = """
 SELECT event_id, event_type FROM events
 WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < '4000'
 """
 
-# tailsamplingprocessor (manifest :265): whole-group keep if any row matches
-_TAIL_SAMPLE_SQL = """
+_TAIL_SAMPLE_DUCK = """
 SELECT e.event_id, e.user_id, e.event_type FROM events e
 WHERE EXISTS (SELECT 1 FROM events x
               WHERE x.user_id = e.user_id AND x.event_type = 'error')
 """
 
-# groupbytraceprocessor (manifest :249): assemble per-group ordered sequence
-_GROUP_BY_CONV_SPARK = """
-SELECT user_id, COUNT(*) AS n_events,
-       array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))),
-                            s -> s.event_type), ',') AS seq
-FROM events GROUP BY user_id
-"""
 _GROUP_BY_CONV_DUCK = """
 SELECT user_id, COUNT(*) AS n_events,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id
 """
 
-# A7 summary split naming/explode shape (summarysplitprocessor/metrics.go:91-198)
-_SUMMARY_SPLIT_SQL = """
+_SUMMARY_SPLIT_DUCK = """
 WITH s AS (
   SELECT l_returnflag AS flag, COUNT(*) AS cnt,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qsum,
-         MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+         CAST(MIN(l_quantity) AS DOUBLE) AS qmin, CAST(MAX(l_quantity) AS DOUBLE) AS qmax
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT concat('lineitem.qty.', flag, '.count') AS metric, CAST(cnt AS DOUBLE) AS value FROM s
@@ -196,15 +638,13 @@ UNION ALL SELECT concat('lineitem.qty.', flag, '.min') AS metric, qmin AS value 
 UNION ALL SELECT concat('lineitem.qty.', flag, '.max') AS metric, qmax AS value FROM s
 """
 
-# A16 broadcast enrichment with unknown-key (auth-denied) nulls
-_ENRICH_SQL = """
+_ENRICH_DUCK = """
 SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment, COUNT(*) AS n,
        CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """
 
-# generic agg parity: TPC-H Q1 shape
 _TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -216,8 +656,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
-# broadcast join chain (k8sattributes/geoip-style lookups)
-_JOIN_CHAIN_SQL = """
+_JOIN_CHAIN_DUCK = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name, COUNT(*) AS n_customers,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
 FROM customer c
@@ -226,163 +665,217 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """
 
-# S2 template mining: mask volatile tokens -> count per template
-_TEMPLATE_SPARK = r"""
-WITH lines AS (
-  SELECT concat('user ', CAST(user_id AS STRING), ' did ', event_type,
-                ' k=', get_json_object(props, '$.k')) AS line
-  FROM events
-)
-SELECT regexp_replace(line, '\\d+', '<num>') AS template, COUNT(*) AS n
-FROM lines GROUP BY 1
-"""
-_TEMPLATE_DUCK = r"""
+
+def _template_mining_duck() -> str:
+    """Mirror the library's _MASKS chain (same regexes, same order)."""
+    from cardinalhq_otel_collector_spark.operators.fingerprint import _MASKS
+
+    expr = "line"
+    for pat, mask in _MASKS:
+        # DuckDB standard string literals don't process backslashes — the
+        # regex goes in verbatim, only quotes need escaping
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{mask}', 'g')"
+    return f"""
 WITH lines AS (
   SELECT concat('user ', CAST(user_id AS VARCHAR), ' did ', event_type,
                 ' k=', json_extract_string(props, '$.k')) AS line
   FROM events
 )
-SELECT regexp_replace(line, '\d+', '<num>', 'g') AS template, COUNT(*) AS n
-FROM lines GROUP BY 1
+SELECT {expr} AS template, COUNT(*) AS n FROM lines GROUP BY 1
 """
 
-# A11 sumo_ic-style per-record JSON line marshal (sumo_marshaler.go:70-144)
-_SUMO_SPARK = """
-SELECT event_id,
-       concat('{"date":"', date_format(ts, 'yyyy-MM-dd'),
-              '","sourceName":"events","sourceHost":"host-', CAST(user_id AS STRING),
-              '","sourceCategory":"', event_type,
-              '","message":"value=', CAST(value AS STRING), '"}') AS line
-FROM events
-"""
+
 _SUMO_DUCK = """
 SELECT event_id,
-       concat('{"date":"', strftime(ts, '%Y-%m-%d'),
-              '","sourceName":"events","sourceHost":"host-', CAST(user_id AS VARCHAR),
-              '","sourceCategory":"', event_type,
-              '","message":"value=', CAST(value AS VARCHAR), '"}') AS line
+       '{"date": "' || strftime(ts, '%Y-%m-%d %H:%M:%S') || ' +0000 UTC","sourceName":"events","sourceHost":"host-'
+       || CAST(user_id AS VARCHAR) || '","sourceCategory":"' || event_type
+       || '","fields":{"account":"dev","region":"us-east-1"},"message":'
+       || to_json(struct_pack(log := props, "user" := 'u' || CAST(user_id AS VARCHAR)))
+       || '}' AS line
 FROM events
 """
 
-# A12 time-partitioned object-key building (internal/upload/partition.go:59-134)
-_PARTITION_KEY_SPARK = """
-SELECT event_id,
-       concat('bucket/prefix/year=', date_format(ts, 'yyyy'),
-              '/month=', date_format(ts, 'MM'),
-              '/day=', date_format(ts, 'dd'),
-              '/hour=', date_format(ts, 'HH'),
-              '/events_', event_type) AS object_key
-FROM events
-"""
 _PARTITION_KEY_DUCK = """
 SELECT event_id,
        concat('bucket/prefix/year=', strftime(ts, '%Y'),
               '/month=', strftime(ts, '%m'),
               '/day=', strftime(ts, '%d'),
               '/hour=', strftime(ts, '%H'),
-              '/events_', event_type) AS object_key
+              '/events_', event_type, '.parquet') AS object_key
 FROM events
 """
 
-# unrollprocessor (manifest :267): explode array-valued bodies
-_UNROLL_SPARK = """
-SELECT lang, COUNT(*) AS n_tokens
-FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
-GROUP BY lang
-"""
 _UNROLL_DUCK = """
 SELECT lang, COUNT(*) AS n_tokens
 FROM documents, unnest(string_split(text, ' ')) AS t(w)
 GROUP BY lang
 """
 
-# --- training-data pipeline ops over documents/embeddings -------------------
-
-_TOKEN_COUNT_SPARK = """
-SELECT doc_id, size(split(text, ' ')) AS n_tokens, length(text) AS n_chars_calc
-FROM documents
+_OTLP_ROUNDTRIP_DUCK = """
+SELECT event_id, props AS body, ts AS ts2, event_type FROM events
 """
+
+
+def _genai_duck() -> str:
+    from cardinalhq_otel_collector_spark.operators.genai import (
+        _ROLE_SYNONYMS,
+        _SYSTEM_PREFIXES,
+    )
+
+    role_whens = " ".join(
+        f"WHEN lower(trim(role_raw)) = '{syn}' THEN '{canon}'"
+        for syn, canon in _ROLE_SYNONYMS.items()
+    )
+    sys_whens = " ".join(
+        f"WHEN starts_with(m, '{p}') THEN '{s}'" for p, s in _SYSTEM_PREFIXES
+    )
+    return f"""
+WITH turns AS (
+  SELECT event_id,
+         CASE event_id % 6 WHEN 0 THEN 'Human' WHEN 1 THEN 'AI' WHEN 2 THEN 'bot'
+              WHEN 3 THEN 'SYSTEM' WHEN 4 THEN 'function' ELSE 'user' END AS role_raw,
+         CASE user_id % 4 WHEN 0 THEN 'gpt-4-turbo-2024-04-09'
+              WHEN 1 THEN 'claude-3-opus-20240229'
+              WHEN 2 THEN 'gemini-1.5-pro-latest' ELSE 'llama-3-70b' END AS model
+  FROM events
+), lowered AS (
+  SELECT event_id, role_raw, lower(trim(model)) AS m FROM turns
+)
+SELECT event_id,
+       CASE {role_whens} ELSE lower(trim(role_raw)) END AS role,
+       role_raw,
+       CASE {sys_whens} ELSE 'unknown' END AS gen_ai_system,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(m, '-\\d{{8}}$', ''),
+             '-\\d{{4}}(-\\d{{2}})?(-\\d{{2}})?$', ''),
+           '[.@]\\d+$', ''),
+         '-(latest|preview|turbo|instant|mini|nano)$', '') AS gen_ai_request_model
+FROM lowered
+"""
+
+
+_HISTOGRAM_DUCK = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         (CASE WHEN value > 50.0 THEN 1 ELSE 0 END
+          + CASE WHEN value > 100.0 THEN 1 ELSE 0 END
+          + CASE WHEN value > 200.0 THEN 1 ELSE 0 END
+          + CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS bucket_idx
+  FROM events
+)
+SELECT event_type, bucket_start, bucket_idx,
+       CASE bucket_idx WHEN 0 THEN '50' WHEN 1 THEN '100' WHEN 2 THEN '200'
+            WHEN 3 THEN '400' ELSE '+Inf' END AS le,
+       COUNT(*) AS bucket_count
+FROM b GROUP BY 1, 2, 3
+"""
+
+_RED_DUCK = """
+SELECT event_type, COUNT(*) AS calls,
+       SUM(CASE WHEN value >= 195.0 THEN 1 ELSE 0 END) AS errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS duration_sum,
+       MIN(value) AS duration_min, MAX(value) AS duration_max,
+       date_trunc('hour', ts) AS bucket_start
+FROM events GROUP BY event_type, bucket_start
+"""
+
+_AGG_OVERRIDE_DUCK = """
+WITH typed AS (
+  SELECT *, CASE event_type WHEN 'click' THEN 'sum' WHEN 'view' THEN 'avg'
+            WHEN 'error' THEN 'max' WHEN 'signup' THEN 'min' ELSE 'avg' END AS agg_type
+  FROM events
+), g AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         MAX(agg_type) AS agg_type, COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM typed GROUP BY 1, 2
+)
+SELECT event_type, bucket_start, agg_type, n,
+       CASE agg_type WHEN 'sum' THEN s WHEN 'min' THEN mn WHEN 'max' THEN mx
+            ELSE s / n END AS value,
+       'true' AS aggregated
+FROM g
+"""
+
+_ROUND_ROBIN_DUCK = """
+SELECT CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INTEGER) AS rr_sink,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
 _TOKEN_COUNT_DUCK = """
-SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars_calc
+SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+       length(text) AS n_chars_calc,
+       greatest(len(string_split(text, ' ')),
+                CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_est
 FROM documents
 """
 
-_QUALITY_SPARK = """
-SELECT doc_id,
-       size(split(text, ' ')) AS n_tokens,
-       size(array_distinct(split(text, ' '))) AS n_distinct,
-       ROUND(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-             / size(split(text, ' ')), 4) AS ttr
-FROM documents
-"""
 _QUALITY_DUCK = """
-SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
-       len(list_distinct(string_split(text, ' '))) AS n_distinct,
-       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS ttr
-FROM documents
+WITH c AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd
+  FROM documents
+), p AS (
+  SELECT doc_id, n,
+         CAST(nd AS DOUBLE) / n AS draw,
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           / length(text) AS praw,
+         CAST(length(text) - n + 1 AS DOUBLE) / n AS mraw
+  FROM c
+)
+SELECT doc_id, n AS n_tokens, ROUND(draw, 4) AS distinct_ratio,
+       ROUND(praw, 4) AS punct_ratio, ROUND(mraw, 4) AS mean_word_len,
+       ROUND(CASE WHEN n < 5 THEN 0.0
+                  ELSE least(1.0, n / 64.0) * draw * (1 - least(1.0, praw * 4)) END,
+             4) AS quality
+FROM p
 """
 
-_LANG_SPARK = r"""
-SELECT doc_id, lang,
-       regexp_count(text, '\\bthe\\b') + regexp_count(text, '\\ba\\b') AS eng_markers,
-       CASE WHEN regexp_count(text, '\\bthe\\b') + regexp_count(text, '\\ba\\b') >= 3
-            THEN 'en-like' ELSE 'other' END AS guess
-FROM documents
-"""
-_LANG_DUCK = r"""
-SELECT doc_id, lang,
-       len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS eng_markers,
-       CASE WHEN len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) >= 3
-            THEN 'en-like' ELSE 'other' END AS guess
-FROM documents
+
+def _lang_duck() -> str:
+    from cardinalhq_otel_collector_spark.operators.textstats import _LANG_MARKERS
+
+    hit_cols = ", ".join(
+        "("
+        + " + ".join(
+            rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in words
+        )
+        + f") AS hits_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    guess = " ".join(f"WHEN hits_{la} = {m} THEN '{la}'" for la in langs[:-1])
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+       CASE {guess} ELSE '{langs[-1]}' END AS lang_guess
+FROM h
 """
 
-_EXACT_DEDUP_SQL = """
+
+_EXACT_DEDUP_DUCK = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
-# n-gram Jaccard near-dup (char 12-gram shingles, pairwise over a bounded
-# candidate set — the exact small-N oracle; the scale path is minhash_lsh)
-_JACCARD_SPARK = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
-sh AS (SELECT DISTINCT doc_id, substring(text, i, 12) AS s
-       FROM d LATERAL VIEW explode(sequence(1, greatest(length(text) - 11, 1))) t AS i),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.02
-"""
 _JACCARD_DUCK = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
 sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s
        FROM d, unnest(range(1, greatest(length(text) - 11, 1) + 1)) t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.02
 """
 
-# MinHash + LSH band-bucket candidate pairs (the scale path for near-dup:
-# O(n·bands) shuffle instead of O(n²) compare)
-_MINHASH_SPARK = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-sh AS (SELECT DISTINCT doc_id, substring(text, i, 12) AS s
-       FROM d LATERAL VIEW explode(sequence(1, greatest(length(text) - 11, 1))) t AS i),
-sig AS (SELECT doc_id,
-               MIN(md5(concat('0|', s))) AS h0, MIN(md5(concat('1|', s))) AS h1
-        FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, concat('b0#', h0) AS band FROM sig
-          UNION ALL SELECT doc_id, concat('b1#', h1) AS band FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-"""
 _MINHASH_DUCK = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s
@@ -392,35 +885,41 @@ sig AS (SELECT doc_id,
         FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, concat('b0#', h0) AS band FROM sig
           UNION ALL SELECT doc_id, concat('b1#', h1) AS band FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
-# brute-force cosine top-k ANN (exact baseline; decimal-summed dot products
-# so Spark and DuckDB agree bit-for-bit before rounding)
-_ANN_SPARK = """
-WITH idx AS (SELECT explode(sequence(1, 64)) AS i),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-norms AS (
-  SELECT e.vec_id,
-         CAST(SUM(CAST(CAST(element_at(e.embedding, idx.i) AS DOUBLE)
-                       * CAST(element_at(e.embedding, idx.i) AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nrm2
-  FROM embeddings e CROSS JOIN idx GROUP BY e.vec_id),
-dots AS (
-  SELECT q.qid, e.vec_id,
-         CAST(SUM(CAST(CAST(element_at(q.qe, idx.i) AS DOUBLE)
-                       * CAST(element_at(e.embedding, idx.i) AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
-  FROM q CROSS JOIN embeddings e CROSS JOIN idx
-  WHERE e.vec_id <> q.qid
-  GROUP BY q.qid, e.vec_id),
-scored AS (
-  SELECT d.qid, d.vec_id,
-         ROUND(d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)), 6) AS cosine,
-         ROW_NUMBER() OVER (PARTITION BY d.qid
-                            ORDER BY d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)) DESC, d.vec_id) AS rn
-  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nv ON nv.vec_id = d.vec_id)
-SELECT qid, vec_id AS neighbor_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
+
+def _simhash_core_duck(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM((CAST('0x' || substr(h, {b + 1}, 1) AS INT) % 2) * 2 - 1) AS v{b}"
+        for b in range(bits)
+    )
+    bitstr = " || ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(bits)
+    )
+    return f"""
+tok AS (SELECT doc_id, md5(w) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 200)),
+v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {bitstr} AS simhash FROM v)
 """
+
+
+_SIMHASH_DUCK = f"WITH {_simhash_core_duck()} SELECT doc_id, simhash FROM sig"
+
+_SIMHASH_CAND_DUCK = f"""
+WITH {_simhash_core_duck()},
+bands AS (
+  SELECT doc_id, concat('b', CAST(b.b AS VARCHAR), '#',
+                        substr(simhash, CAST(b.b AS INT) * 4 + 1, 4)) AS band
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+"""
+
 _ANN_DUCK = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -442,66 +941,189 @@ scored AS (
          ROW_NUMBER() OVER (PARTITION BY d.qid
                             ORDER BY d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)) DESC, d.vec_id) AS rn
   FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nv ON nv.vec_id = d.vec_id)
-SELECT qid, vec_id AS neighbor_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
+SELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
 """
 
-# LSH sign-bucket assignment (the ANN scale path: bucket then search within)
-_EMB_BUCKET_SPARK = """
-SELECT concat(
-         CASE WHEN element_at(embedding, 1) >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN element_at(embedding, 2) >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN element_at(embedding, 3) >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN element_at(embedding, 4) >= 0 THEN '1' ELSE '0' END) AS bucket,
-       COUNT(*) AS n, MIN(vec_id) AS min_vec_id
-FROM embeddings GROUP BY 1
-"""
 _EMB_BUCKET_DUCK = """
-SELECT concat(
-         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
-       COUNT(*) AS n, MIN(vec_id) AS min_vec_id
-FROM embeddings GROUP BY 1
+WITH b AS (
+  SELECT vec_id, concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id FROM b GROUP BY bucket
 """
 
-_QUERIES: dict[str, tuple[str, str]] = {
-    "pipeline_route_agg": (_PIPELINE_ROUTE_AGG_SPARK, _PIPELINE_ROUTE_AGG_DUCK),
-    "route_fanout_counts": (_ROUTE_FANOUT_SPARK, _ROUTE_FANOUT_DUCK),
-    "interval_agg": (_INTERVAL_AGG_SQL, _INTERVAL_AGG_SQL),
-    "cumulative_to_delta": (_CUM_TO_DELTA_SQL, _CUM_TO_DELTA_SQL),
-    "delta_to_cumulative": (_DELTA_TO_CUM_SQL, _DELTA_TO_CUM_SQL),
-    "delta_to_rate": (_DELTA_TO_RATE_SPARK, _DELTA_TO_RATE_DUCK),
-    "metric_start_time": (_START_TIME_SQL, _START_TIME_SQL),
-    "interval_last": (_INTERVAL_LAST_SQL, _INTERVAL_LAST_SQL),
-    "log_dedup": (_LOG_DEDUP_SPARK, _LOG_DEDUP_DUCK),
-    "probabilistic_sample": (_PROB_SAMPLE_SPARK, _PROB_SAMPLE_DUCK),
-    "tail_sample": (_TAIL_SAMPLE_SQL, _TAIL_SAMPLE_SQL),
-    "group_by_conv": (_GROUP_BY_CONV_SPARK, _GROUP_BY_CONV_DUCK),
-    "summary_split": (_SUMMARY_SPLIT_SQL, _SUMMARY_SPLIT_SQL),
-    "enrich_lookup": (_ENRICH_SQL, _ENRICH_SQL),
-    "tpch_q1": (_TPCH_Q1_SQL, _TPCH_Q1_SQL),
-    "join_chain": (_JOIN_CHAIN_SQL, _JOIN_CHAIN_SQL),
-    "template_mining": (_TEMPLATE_SPARK, _TEMPLATE_DUCK),
-    "sumo_marshal": (_SUMO_SPARK, _SUMO_DUCK),
-    "partition_keys": (_PARTITION_KEY_SPARK, _PARTITION_KEY_DUCK),
-    "unroll_tokens": (_UNROLL_SPARK, _UNROLL_DUCK),
-    "doc_token_count": (_TOKEN_COUNT_SPARK, _TOKEN_COUNT_DUCK),
-    "doc_quality": (_QUALITY_SPARK, _QUALITY_DUCK),
-    "doc_lang_id": (_LANG_SPARK, _LANG_DUCK),
-    "doc_exact_dedup": (_EXACT_DEDUP_SQL, _EXACT_DEDUP_SQL),
-    "doc_ngram_jaccard": (_JACCARD_SPARK, _JACCARD_DUCK),
-    "doc_minhash_lsh": (_MINHASH_SPARK, _MINHASH_DUCK),
-    "ann_cosine_topk": (_ANN_SPARK, _ANN_DUCK),
-    "emb_lsh_buckets": (_EMB_BUCKET_SPARK, _EMB_BUCKET_DUCK),
+# hyperplane LSH: deterministic md5-derived planes (similarity.py
+# hyperplane_table) — w = conv(md5(plane|i)[0:8], 16, 10) / 2^32 * 2 - 1
+_HYPERPLANES_DUCK = """
+planes AS (
+  SELECT p.plane, i.i,
+         (CAST(CAST('0x' || substr(md5(CAST(p.plane AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+          / 4294967296.0) * 2 - 1 AS w,
+         CAST(floor(p.plane / 4.0) AS INT) AS band
+  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+       (SELECT unnest(range(1, 65)) AS i) i
+),
+e AS (SELECT vec_id, i.i, CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+dots AS (SELECT e.vec_id, pl.band, pl.plane, SUM(CAST(e.v * pl.w AS DECIMAL(38,18))) AS d
+         FROM e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, band,
+         SUM((CASE WHEN d >= 0 THEN 1 ELSE 0 END)
+             * CAST(pow(2, plane % 4) AS BIGINT)) AS bucket
+  FROM dots GROUP BY vec_id, band
+)
+"""
+
+_HYPERPLANE_BUCKETS_DUCK = f"""
+WITH {_HYPERPLANES_DUCK}
+SELECT vec_id, band, CAST(bucket AS BIGINT) AS bucket FROM buckets
+"""
+
+_ANN_LSH_DUCK = f"""
+WITH {_HYPERPLANES_DUCK},
+qb AS (SELECT vec_id AS qid, band, bucket FROM buckets WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT qb.qid, b.vec_id
+  FROM buckets b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> qb.qid
+),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+norms AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[CAST(idx.i AS INT)] AS DOUBLE)
+                       * CAST(e.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nrm2
+  FROM embeddings e CROSS JOIN idx GROUP BY e.vec_id),
+dots2 AS (
+  SELECT c.qid, c.vec_id,
+         CAST(SUM(CAST(CAST(q.qe[CAST(idx.i AS INT)] AS DOUBLE)
+                       * CAST(e.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+  CROSS JOIN idx
+  GROUP BY c.qid, c.vec_id),
+scored AS (
+  SELECT d.qid, d.vec_id,
+         ROUND(d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)) DESC, d.vec_id) AS rn
+  FROM dots2 d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nv ON nv.vec_id = d.vec_id)
+SELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
+"""
+
+_MULTIMODAL_DUCK = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       ROUND(CAST('0x' || substr(md5(text), 1, 2) AS INT) / 255.0, 6) AS f0,
+       ROUND(CAST('0x' || substr(md5(text), 3, 2) AS INT) / 255.0, 6) AS f1,
+       ROUND(CAST('0x' || substr(md5(text), 5, 2) AS INT) / 255.0, 6) AS f2,
+       ROUND(CAST('0x' || substr(md5(text), 7, 2) AS INT) / 255.0, 6) AS f3,
+       ROUND(CAST('0x' || substr(md5(text), 9, 2) AS INT) / 255.0, 6) AS f4,
+       ROUND(CAST('0x' || substr(md5(text), 11, 2) AS INT) / 255.0, 6) AS f5,
+       ROUND(CAST('0x' || substr(md5(text), 13, 2) AS INT) / 255.0, 6) AS f6,
+       ROUND(CAST('0x' || substr(md5(text), 15, 2) AS INT) / 255.0, 6) AS f7
+FROM documents WHERE doc_id < 500
+"""
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_route_agg": q_pipeline_route_agg,
+    "route_fanout_counts": q_route_fanout_counts,
+    "interval_agg": q_interval_agg,
+    "cumulative_to_delta": q_cumulative_to_delta,
+    "delta_to_cumulative": q_delta_to_cumulative,
+    "delta_to_rate": q_delta_to_rate,
+    "metric_start_time": q_metric_start_time,
+    "interval_last": q_interval_last,
+    "log_dedup": q_log_dedup,
+    "probabilistic_sample": q_probabilistic_sample,
+    "tail_sample": q_tail_sample,
+    "group_by_conv": q_group_by_conv,
+    "summary_split": q_summary_split,
+    "enrich_lookup": q_enrich_lookup,
+    "tpch_q1": q_tpch_q1,
+    "join_chain": q_join_chain,
+    "template_mining": q_template_mining,
+    "sumo_marshal": q_sumo_marshal,
+    "partition_keys": q_partition_keys,
+    "unroll_tokens": q_unroll_tokens,
+    "otlp_roundtrip": q_otlp_roundtrip,
+    "genai_normalize": q_genai_normalize,
+    "latency_histogram": q_latency_histogram,
+    "red_metrics": q_red_metrics,
+    "agg_type_override": q_agg_type_override,
+    "round_robin": q_round_robin,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "doc_simhash_candidates": q_doc_simhash_candidates,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
 }
+
+
+def _oracles() -> dict[str, str]:
+    return {
+        "pipeline_route_agg": _PIPELINE_ROUTE_AGG_DUCK,
+        "route_fanout_counts": _ROUTE_FANOUT_DUCK,
+        "interval_agg": _INTERVAL_AGG_DUCK,
+        "cumulative_to_delta": _CUM_TO_DELTA_DUCK,
+        "delta_to_cumulative": _DELTA_TO_CUM_DUCK,
+        "delta_to_rate": _DELTA_TO_RATE_DUCK,
+        "metric_start_time": _START_TIME_DUCK,
+        "interval_last": _INTERVAL_LAST_DUCK,
+        "log_dedup": _LOG_DEDUP_DUCK,
+        "probabilistic_sample": _PROB_SAMPLE_DUCK,
+        "tail_sample": _TAIL_SAMPLE_DUCK,
+        "group_by_conv": _GROUP_BY_CONV_DUCK,
+        "summary_split": _SUMMARY_SPLIT_DUCK,
+        "enrich_lookup": _ENRICH_DUCK,
+        "tpch_q1": _TPCH_Q1_SQL,
+        "join_chain": _JOIN_CHAIN_DUCK,
+        "template_mining": _template_mining_duck(),
+        "sumo_marshal": _SUMO_DUCK,
+        "partition_keys": _PARTITION_KEY_DUCK,
+        "unroll_tokens": _UNROLL_DUCK,
+        "otlp_roundtrip": _OTLP_ROUNDTRIP_DUCK,
+        "genai_normalize": _genai_duck(),
+        "latency_histogram": _HISTOGRAM_DUCK,
+        "red_metrics": _RED_DUCK,
+        "agg_type_override": _AGG_OVERRIDE_DUCK,
+        "round_robin": _ROUND_ROBIN_DUCK,
+        "doc_token_count": _TOKEN_COUNT_DUCK,
+        "doc_quality": _QUALITY_DUCK,
+        "doc_lang_id": _lang_duck(),
+        "doc_exact_dedup": _EXACT_DEDUP_DUCK,
+        "doc_ngram_jaccard": _JACCARD_DUCK,
+        "doc_minhash_lsh": _MINHASH_DUCK,
+        "doc_simhash": _SIMHASH_DUCK,
+        "doc_simhash_candidates": _SIMHASH_CAND_DUCK,
+        "ann_cosine_topk": _ANN_DUCK,
+        "emb_lsh_buckets": _EMB_BUCKET_DUCK,
+        "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
+        "ann_lsh_topk": _ANN_LSH_DUCK,
+        "multimodal_decode": _MULTIMODAL_DUCK,
+    }
 
 
 # ---------------------------------------------------------------------------
 # Library-backed queries with no portable SQL oracle (driver records the
 # weaker rows-only check for these — genuinely non-SQL-expressible paths:
-# driver-side union-find clustering, banded hyperplane LSH, Arrow-batched
-# multimodal decode, the full staged pipeline with lineage).
+# the full staged pipeline with lineage (Spark-side datagen via xxhash64),
+# distributed iterative label propagation, streaming with checkpoints).
 # ---------------------------------------------------------------------------
 
 
@@ -509,8 +1131,6 @@ def _lib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full staged pipeline over deterministic synthetic transcripts;
     returns per-sink counts (the north-rule aggregate shape)."""
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from cardinalhq_otel_collector_spark.datagen import transcripts
     from cardinalhq_otel_collector_spark.plans.pipeline import AGG_TABLE, run_pipeline
@@ -527,53 +1147,18 @@ def _lib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lib_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
+    """Distributed two-pass clustering (iterative min-label propagation —
+    not expressible as one SQL statement)."""
     from cardinalhq_otel_collector_spark.datagen import transcripts
-    from cardinalhq_otel_collector_spark.operators.fingerprint import fingerprint_and_cluster
+    from cardinalhq_otel_collector_spark.operators.fingerprint import (
+        fingerprint_and_cluster,
+    )
 
     df = fingerprint_and_cluster(transcripts(spark, n_convs=200))
     return df.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("fingerprint").alias("n_templates"),
     )
-
-
-def _lib_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from cardinalhq_otel_collector_spark.operators.similarity import lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(q, emb, k=3, bits=4, n_bands=8)
-
-
-def _lib_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from cardinalhq_otel_collector_spark.operators.dedup import simhash_candidates
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
-    return simhash_candidates(docs)
-
-
-def _lib_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from cardinalhq_otel_collector_spark.operators.multimodal import decode_features
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    return decode_features(media)
 
 
 def _lib_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,20 +1176,18 @@ def _lib_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out}/routed_stream").groupBy("sink").count()
 
 
-_LIB_QUERIES: dict[str, object] = {
+_LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_template_clusters": _lib_template_clusters,
-    "lib_ann_lsh": _lib_ann_lsh,
-    "lib_simhash_candidates": _lib_simhash,
-    "lib_multimodal_decode": _lib_multimodal,
     "lib_streaming_pipeline": _lib_streaming,
 }
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the transcript pipeline (decorate → route → window agg) over
-    a transcript-shaped stream derived from sf0.001 events."""
-    from pyspark.sql import functions as F
+    a transcript-shaped stream derived from the sf0.001 events table."""
+    import os
+
     from pyspark.sql import Window
 
     from cardinalhq_otel_collector_spark.config import PipelineConfig
@@ -612,7 +1195,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from cardinalhq_otel_collector_spark.operators.aggregate import interval_aggregate
     from cardinalhq_otel_collector_spark.plans.pipeline import decorate
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     transcripts = events.select(
         F.format_string("conv-%05d", F.col("user_id")).alias("conv_id"),
@@ -633,10 +1217,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _sql(spark_sql) for name, (spark_sql, _) in _QUERIES.items()}
+    out = dict(_QUERIES)
     out.update(_LIB_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: duck for name, (_, duck) in _QUERIES.items()}
+    return _oracles()

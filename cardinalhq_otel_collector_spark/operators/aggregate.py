@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_aggregate", "aggregate_with_override", "split_by_flag"]
+__all__ = [
+    "interval_aggregate",
+    "interval_stats",
+    "aggregate_with_override",
+    "split_by_flag",
+]
 
 
 def split_by_flag(df: DataFrame, flag_col: str) -> tuple[DataFrame, DataFrame]:
@@ -63,6 +68,38 @@ def interval_aggregate(
     )
 
 
+def interval_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    interval: str = "10 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A3/A4 — the full per-interval stat row (count/sum/avg/min/max) in ONE
+    hash aggregation (aggregate.go:204-294 computes all of these per series;
+    the per-row override selects among them — aggregate_with_override).
+
+    The sum is accumulated in DECIMAL(18,6) and cast back to DOUBLE so the
+    result is bit-stable under any partitioning / engine (float sums are
+    order-dependent); avg is derived from that exact sum.
+    """
+    v = F.col(value_col)
+    dec = v.cast("decimal(18,6)")
+    return (
+        df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n"), 6))
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+        .select(*keys, "bucket_start", "n", "sum_value", "avg_value", "min_value", "max_value")
+    )
+
+
 def aggregate_with_override(
     df: DataFrame,
     keys: list[str],
@@ -71,24 +108,31 @@ def aggregate_with_override(
     default_type: str = "avg",
     interval: str = "10 seconds",
     ts_col: str = "ts",
+    additional_attributes: dict[str, object] | None = None,
 ) -> DataFrame:
-    """A4 — per-row aggregation-type override (min/max/sum/avg).
+    """A4/A5 — per-row aggregation-type override (min/max/sum/avg) with the
+    configured ``additional_attributes`` appended to every emitted
+    aggregate datapoint (aggregationprocessor/config.go:24-31: the emitted
+    rows carry extra static tags marking them as aggregates).
 
     The reference reads the type from a datapoint attribute per series
     (aggregate.go:204-226); rows of one group share the type, so we take
-    ``first(agg_type)`` per group and select the matching aggregate.
+    ``max(agg_type)`` per group (deterministic even if rows of a group were
+    ever to disagree) and select the matching aggregate.
     """
     v = F.col(value_col)
     agg = (
         df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
         .agg(
-            F.sum(v).alias("_sum"),
-            F.avg(v).alias("_avg"),
+            # decimal-accumulated sum → bit-stable under any partitioning
+            # (float sums are order-dependent); avg derives from the exact sum
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("_sum"),
             F.min(v).alias("_min"),
             F.max(v).alias("_max"),
             F.count(v).alias("n"),
-            F.coalesce(F.first(agg_type_col, ignorenulls=True), F.lit(default_type)).alias("_t"),
+            F.coalesce(F.max(agg_type_col), F.lit(default_type)).alias("_t"),
         )
+        .withColumn("_avg", F.col("_sum") / F.col("n"))
     )
     value = (
         F.when(F.col("_t") == "sum", F.col("_sum"))
@@ -96,9 +140,12 @@ def aggregate_with_override(
         .when(F.col("_t") == "max", F.col("_max"))
         .otherwise(F.col("_avg"))
     )
-    return (
+    out = (
         agg.withColumn("bucket_start", F.col("w.start"))
         .withColumn("agg_type", F.col("_t"))
         .withColumn("value", value)
         .select(*keys, "bucket_start", "agg_type", "n", "value")
     )
+    for k, val in (additional_attributes or {}).items():
+        out = out.withColumn(k, F.lit(val))
+    return out

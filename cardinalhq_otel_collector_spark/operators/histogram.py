@@ -1,0 +1,79 @@
+"""spanmetricsconnector analogue — RED metrics with explicit-bounds latency
+histograms (SURVEY.md §2B maps spanmetrics' histogram to width_bucket-style
+bucketing; the connector's default is an explicit-bounds histogram with
+cumulative ``le`` buckets).
+
+One projection computes the bucket label; one hash aggregation produces the
+(keys, bucket) counts — Catalyst's partial+final agg keeps the shuffle at
+group cardinality. ``cumulative_histogram`` converts to Prometheus-style
+cumulative ``le`` counts with a window sum over the bucket ordering (bucket
+count is config-bounded, so the window partition is tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucket_index", "latency_histogram", "red_metrics"]
+
+
+def bucket_index(value: Column, bounds: list[float]) -> Column:
+    """Explicit-bounds bucket index: #bounds strictly below value — i.e.
+    bucket i covers (bounds[i-1], bounds[i]], the OTLP histogram convention
+    (value ≤ bound goes in that bucket); index len(bounds) = overflow."""
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + F.when(value > F.lit(float(b)), 1).otherwise(0)
+    return idx
+
+
+def latency_histogram(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bounds: list[float],
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(keys, bucket_start, bucket_idx, le, bucket_count) — non-cumulative
+    per-bucket counts. ``le`` is the bucket's upper bound rendered as a
+    string ('+Inf' for overflow), the metric naming spanmetrics emits."""
+    idx = bucket_index(F.col(value_col), bounds)
+    le = F.element_at(
+        F.array(*[F.lit(f"{b:g}") for b in bounds] + [F.lit("+Inf")]), idx + 1
+    )
+    return (
+        df.withColumn("bucket_idx", idx)
+        .withColumn("le", le)
+        .groupBy(F.window(ts_col, interval).alias("w"), *keys, "bucket_idx", "le")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def red_metrics(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    error_predicate: str,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rate/Errors/Duration per (keys, interval): call count, error count,
+    decimal-summed total duration, min/max — the spanmetrics calls+duration
+    metric pair in one aggregation pass."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum(F.when(F.expr(error_predicate), 1).otherwise(0)).alias("errors"),
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("duration_sum"),
+            F.min(v).alias("duration_min"),
+            F.max(v).alias("duration_max"),
+        )
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )

@@ -1,0 +1,260 @@
+"""Exporter marshalers (awss3exporter analogues), as pure column builders.
+
+  sumo_ic_lines     exporter/awss3exporter/sumo_marshaler.go:70-166 — one
+                    JSON line per record: required _source* resource attrs
+                    (missing → error), ``fields`` = the REMAINING resource
+                    attrs as a JSON object, ``message`` = log attributes +
+                    body under the "log" key, typed attr→string rules.
+  otlp_json_logs    marshaler.go:42-71 (plog.JSONMarshaler) — OTLP/JSON
+                    byte shape, one resourceLogs envelope per row, plus the
+                    inverse (parse) for round-trip tests.
+  body_lines        body_marshaler.go:26-45 — newline-joined raw bodies.
+
+Everything is ``to_json``/``concat`` over structs — JVM-side, zero Python.
+Go's ``json.Encoder`` sorts map keys, so ``fields``/``message`` structs are
+built with keys pre-sorted at plan time (static schema → static order).
+``strconv.Quote`` is mirrored for the printable-ASCII subset (backslash,
+quote, and \\n/\\t/\\r escapes); exotic control characters are out of scope
+and documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "attr_value_to_string",
+    "json_quote",
+    "sumo_ic_lines",
+    "sumo_ic_violations",
+    "otlp_json_logs",
+    "parse_otlp_json_logs",
+    "body_lines",
+]
+
+
+def attr_value_to_string(col: Column, dtype: str) -> Column:
+    """attributeValueToString (sumo_marshaler.go:40-60): bool →
+    "true"/"false", int → decimal digits, double → Go FormatFloat('f',-1)
+    (shortest fixed notation — integral doubles drop the trailing '.0'),
+    string passthrough, array/map → their JSON encoding, NULL → ''."""
+    if dtype in ("string",):
+        return F.coalesce(col, F.lit(""))
+    if dtype in ("boolean",):
+        return F.coalesce(F.when(col, "true").otherwise("false"), F.lit(""))
+    if dtype in ("int", "long", "integer", "bigint"):
+        return F.coalesce(col.cast("string"), F.lit(""))
+    if dtype in ("double", "float"):
+        # Spark renders 4.0 as "4.0"; Go 'f',-1 renders "4" — strip the
+        # trailing ".0" of integral doubles, keep fractional digits as-is.
+        s = col.cast("string")
+        return F.coalesce(F.regexp_replace(s, r"\.0$", ""), F.lit(""))
+    # arrays / maps / structs: their JSON encoding (valueToJSON)
+    return F.coalesce(F.to_json(col), F.lit(""))
+
+
+def json_quote(col: Column) -> Column:
+    """strconv.Quote for the printable subset: escape backslash, quote, and
+    the common control chars, then wrap in double quotes
+    (sumo_marshaler.go:106-108 quotes the three _source* values)."""
+    escaped = F.regexp_replace(col, r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', '\\\\"')
+    escaped = F.regexp_replace(escaped, "\n", "\\\\n")
+    escaped = F.regexp_replace(escaped, "\t", "\\\\t")
+    escaped = F.regexp_replace(escaped, "\r", "\\\\r")
+    return F.concat(F.lit('"'), escaped, F.lit('"'))
+
+
+def _sorted_struct(cols: dict[str, Column]) -> Column:
+    """Struct with keys in sorted order — Go's json.Encoder sorts map keys
+    (the goldens in sumo_marshaler_test.go:96-99 show sorted output)."""
+    return F.struct(*[cols[k].alias(k) for k in sorted(cols)])
+
+
+def sumo_ic_lines(
+    df: DataFrame,
+    source_name: Column,
+    source_host: Column,
+    source_category: Column,
+    body: Column,
+    ts: Column,
+    fields: dict[str, Column] | None = None,
+    message_attrs: dict[str, Column] | None = None,
+    out_col: str = "line",
+) -> DataFrame:
+    """One sumo_ic JSON line per row (sumo_marshaler.go:76-146):
+
+      {"date": "<ts> +0000 UTC","sourceName":<q>,"sourceHost":<q>,
+       "sourceCategory":<q>,"fields":{<other resource attrs>},
+       "message":{<log attrs>,"log":<body>}}
+
+    ``fields`` are the resource attributes other than the three _source*
+    keys; ``message`` is the log-record attributes plus the body under
+    "log" (logBodyKey, sumo_marshaler.go:21). The date string matches Go's
+    pcommon.Timestamp String() rendering under UTC.
+    """
+    date = F.concat(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit(" +0000 UTC"))
+    fields_json = (
+        F.to_json(_sorted_struct(fields)) if fields else F.lit("{}")
+    )
+    msg_cols = dict(message_attrs or {})
+    msg_cols["log"] = body  # logBodyKey — sorted in with the attrs
+    message_json = F.to_json(_sorted_struct(msg_cols))
+    line = F.concat(
+        F.lit('{"date": "'), date, F.lit('","sourceName":'), json_quote(source_name),
+        F.lit(',"sourceHost":'), json_quote(source_host),
+        F.lit(',"sourceCategory":'), json_quote(source_category),
+        F.lit(',"fields":'), fields_json,
+        F.lit(',"message":'), message_json,
+        F.lit("}"),
+    )
+    return df.withColumn(out_col, line)
+
+
+def sumo_ic_violations(
+    df: DataFrame,
+    source_name: Column,
+    source_host: Column,
+    source_category: Column,
+) -> DataFrame:
+    """The relational analogue of the marshaler's required-attribute error
+    (sumo_marshaler.go:84-97 returns an error for the whole batch when any
+    _source* resource attribute is missing): rows whose required attrs are
+    NULL, with the reason. Callers assert emptiness before marshaling (or
+    route violations to a dead-letter sink)."""
+    reason = (
+        F.when(source_category.isNull(), "_sourceCategory attribute does not exist")
+        .when(source_host.isNull(), "_sourceHost attribute does not exist")
+        .when(source_name.isNull(), "_sourceName attribute does not exist")
+    )
+    return df.withColumn("violation", reason).filter(F.col("violation").isNotNull())
+
+
+def otlp_json_logs(
+    df: DataFrame,
+    body: Column,
+    ts: Column,
+    resource_attrs: dict[str, Column] | None = None,
+    attrs: dict[str, Column] | None = None,
+    out_col: str = "otlp_json",
+) -> DataFrame:
+    """OTLP/JSON byte shape (plog.JSONMarshaler via marshaler.go:53-58):
+    one resourceLogs envelope per row — attributes as [{key, value:
+    {stringValue}}] lists, timeUnixNano as a decimal STRING (the OTLP JSON
+    mapping renders 64-bit ints as strings)."""
+
+    def kvlist(d: dict[str, Column]) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    F.struct(v.cast("string").alias("stringValue")).alias("value"),
+                )
+                for k, v in sorted(d.items())
+            ]
+        )
+
+    record = F.struct(
+        (F.unix_micros(ts.cast("timestamp")) * 1000).cast("string").alias("timeUnixNano"),
+        F.struct(body.cast("string").alias("stringValue")).alias("body"),
+        kvlist(attrs or {}).alias("attributes"),
+    )
+    envelope = F.struct(
+        F.array(
+            F.struct(
+                F.struct(kvlist(resource_attrs or {}).alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(F.array(record).alias("logRecords"))
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return df.withColumn(out_col, F.to_json(envelope))
+
+
+def _otlp_schema(n_attrs: int, n_res_attrs: int) -> T.StructType:
+    kv = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField(
+                    "value",
+                    T.StructType([T.StructField("stringValue", T.StringType())]),
+                ),
+            ]
+        )
+    )
+    record = T.StructType(
+        [
+            T.StructField("timeUnixNano", T.StringType()),
+            T.StructField(
+                "body", T.StructType([T.StructField("stringValue", T.StringType())])
+            ),
+            T.StructField("attributes", kv),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField(
+                "resourceLogs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
+                                T.StructType([T.StructField("attributes", kv)]),
+                            ),
+                            T.StructField(
+                                "scopeLogs",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [T.StructField("logRecords", T.ArrayType(record))]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+
+def parse_otlp_json_logs(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
+    """Inverse of otlp_json_logs for round-trip tests: one row per log
+    record with (ts, body, attributes map)."""
+    parsed = df.withColumn("_o", F.from_json(F.col(json_col), _otlp_schema(0, 0)))
+    rec = F.explode(
+        F.flatten(
+            F.col("_o.resourceLogs")[0]["scopeLogs"].getField("logRecords")
+        )
+    ).alias("rec")
+    exploded = parsed.select("*", rec).drop("_o")
+    return (
+        exploded.withColumn(
+            "parsed_ts",
+            # ns → µs in DECIMAL: double division would lose precision past
+            # 2^53 (epoch nanos are ~1.7e18)
+            F.timestamp_micros(
+                (F.col("rec.timeUnixNano").cast("decimal(38,0)") / 1000).cast("long")
+            ),
+        )
+        .withColumn("parsed_body", F.col("rec.body.stringValue"))
+        .withColumn(
+            "parsed_attrs",
+            F.map_from_arrays(
+                F.col("rec.attributes.key"),
+                F.col("rec.attributes.value.stringValue"),
+            ),
+        )
+        .drop("rec")
+    )
+
+
+def body_lines(df: DataFrame, body_col: str = "text") -> DataFrame:
+    """body marshaler (body_marshaler.go:26-45): the raw body per record,
+    written as newline-delimited text by the text sink. AsString() renders
+    NULL bodies as '' — mirrored here."""
+    return df.select(F.coalesce(F.col(body_col).cast("string"), F.lit("")).alias("value"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,7 +48,10 @@ _DECODE_OUT_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        # doubles, not float32: the stub features feed cosine math and
+        # oracle comparisons — float32 truncation costs precision for no
+        # storage win at this column's cardinality
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -133,19 +137,22 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def slice_bytes(row):
-                b = row["payload"]
-                if b is None:
-                    return None
-                i = int(row["frame_idx"])
-                return bytes(b[i % max(len(b), 1) : i % max(len(b), 1) + 16])
-
+            # vectorized over the Arrow batch: numpy offset arithmetic, one
+            # list comprehension over pre-computed slices — no per-row
+            # pandas.apply (row-at-a-time inside a batch defeats Arrow)
+            lens = pdf["payload"].map(lambda b: 0 if b is None else len(b)).to_numpy()
+            starts = pdf["frame_idx"].to_numpy() % np.maximum(lens, 1)
+            payloads = pdf["payload"].to_numpy()
+            frames_col = [
+                None if b is None else bytes(b[s : s + 16])
+                for b, s in zip(payloads, starts)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_idx": pdf["frame_idx"],
                     "frame_ts_ms": pdf["frame_ts_ms"],
-                    "frame_payload": pdf.apply(slice_bytes, axis=1),
+                    "frame_payload": frames_col,
                 }
             )
 

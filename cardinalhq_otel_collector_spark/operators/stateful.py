@@ -56,7 +56,10 @@ def delta_to_rate(
     """delta / Δt(seconds). Uses microsecond-exact timestamps so the value
     is reproducible bit-for-bit across engines."""
     w = _w(series, ts_col, list(tiebreak))
-    dt_us = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # cast: parquet timestamps may arrive as TIMESTAMP_NTZ, which
+    # unix_micros rejects (session TZ is pinned UTC so the cast is exact)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt_us = us - F.lag(us).over(w)
     return df.withColumn(
         out_col,
         (F.col(value_col) - F.lag(value_col).over(w)) / (dt_us.cast("double") / 1e6),

@@ -46,7 +46,7 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize("name", list(entrymod._QUERIES))
+@pytest.mark.parametrize("name", sorted(entrymod._oracles()))
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
