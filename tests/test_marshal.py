@@ -1,0 +1,145 @@
+"""Marshaler goldens ported from the reference
+(exporter/awss3exporter/sumo_marshaler_test.go, body_marshaler.go)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.marshal import (
+    attr_value_to_string,
+    body_lines,
+    json_quote,
+    otlp_json_logs,
+    parse_otlp_json_logs,
+    sumo_ic_lines,
+    sumo_ic_violations,
+)
+
+
+def test_sumo_golden_structure(spark):
+    """TestMarshalerOkStructure (sumo_marshaler_test.go:70-99) adapted to
+    promoted columns: epoch-zero date rendering, quoted _source* values,
+    sorted-key fields object, message = attrs + body under 'log'."""
+    df = spark.createDataFrame(
+        [("entry1",)], "body string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    out = sumo_ic_lines(
+        df,
+        source_name=F.lit("testSourceName"),
+        source_host=F.lit("testHost"),
+        source_category=F.lit("testcategory"),
+        body=F.col("body"),
+        ts=F.col("ts"),
+        fields={"42": F.lit("the question")},
+        message_attrs={"key": F.lit("value")},
+    )
+    line = out.collect()[0]["line"]
+    expected = (
+        '{"date": "1970-01-01 00:00:00 +0000 UTC",'
+        '"sourceName":"testSourceName","sourceHost":"testHost",'
+        '"sourceCategory":"testcategory",'
+        '"fields":{"42":"the question"},'
+        '"message":{"key":"value","log":"entry1"}}'
+    )
+    assert line == expected
+    json.loads(line)  # well-formed
+
+
+def test_sumo_golden_quotes(spark):
+    """TestMarshalerQuotes (sumo_marshaler_test.go:102-124): embedded
+    quotes in _sourceCategory escape like strconv.Quote."""
+    df = spark.createDataFrame([("entry1",)], "body string").withColumn(
+        "ts", F.timestamp_seconds(F.lit(0))
+    )
+    out = sumo_ic_lines(
+        df,
+        source_name=F.lit("testSourceName"),
+        source_host=F.lit("testHost"),
+        source_category=F.lit('"foo"bar"'),
+        body=F.col("body"),
+        ts=F.col("ts"),
+    )
+    line = out.collect()[0]["line"]
+    expected = (
+        '{"date": "1970-01-01 00:00:00 +0000 UTC",'
+        '"sourceName":"testSourceName","sourceHost":"testHost",'
+        '"sourceCategory":"\\"foo\\"bar\\"",'
+        '"fields":{},'
+        '"message":{"log":"entry1"}}'
+    )
+    assert line == expected
+    json.loads(line)
+
+
+def test_sumo_missing_required_attr_is_violation(spark):
+    """sumo_marshaler.go:84-97: missing _source* attr errors the batch —
+    here, surfaces as a violation row with the reference's message."""
+    df = spark.createDataFrame(
+        [("e1", "cat-ok"), ("e2", None)], "body string, cat string"
+    )
+    v = sumo_ic_violations(
+        df,
+        source_name=F.lit("n"),
+        source_host=F.lit("h"),
+        source_category=F.col("cat"),
+    ).collect()
+    assert len(v) == 1
+    assert v[0]["violation"] == "_sourceCategory attribute does not exist"
+
+
+def test_attr_value_to_string_typed_rules(spark):
+    """attributeValueToString (sumo_marshaler.go:40-60): bool/int/double
+    rendering rules."""
+    df = spark.createDataFrame(
+        [(True, 42, 4.0, 2.5, "s")],
+        "b boolean, i int, d1 double, d2 double, s string",
+    )
+    row = df.select(
+        attr_value_to_string(F.col("b"), "boolean").alias("b"),
+        attr_value_to_string(F.col("i"), "int").alias("i"),
+        attr_value_to_string(F.col("d1"), "double").alias("d1"),
+        attr_value_to_string(F.col("d2"), "double").alias("d2"),
+        attr_value_to_string(F.col("s"), "string").alias("s"),
+    ).collect()[0]
+    assert row["b"] == "true"
+    assert row["i"] == "42"
+    assert row["d1"] == "4"      # FormatFloat('f',-1): integral drops .0
+    assert row["d2"] == "2.5"
+    assert row["s"] == "s"
+
+
+def test_json_quote_escapes(spark):
+    df = spark.createDataFrame([('a"b\\c\nd',)], "s string")
+    q = df.select(json_quote(F.col("s")).alias("q")).collect()[0]["q"]
+    assert json.loads(q) == 'a"b\\c\nd'
+
+
+def test_otlp_roundtrip_identity(spark):
+    """marshaler.go:53-58 byte shape: marshal -> parse is the identity."""
+    df = spark.createDataFrame(
+        [(1, "body one", "click"), (2, 'with "quotes"', "view")],
+        "id long, body string, et string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1767225600) + F.col("id")))
+    m = otlp_json_logs(df, body=F.col("body"), ts=F.col("ts"),
+                       attrs={"event_type": F.col("et")})
+    # the marshaled column is valid OTLP-shaped JSON
+    j = json.loads(m.collect()[0]["otlp_json"])
+    assert "resourceLogs" in j
+    rec = j["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+    assert rec["body"]["stringValue"] == "body one"
+    assert rec["attributes"][0]["key"] == "event_type"
+    p = parse_otlp_json_logs(m)
+    rows = {r["id"]: r for r in p.collect()}
+    assert rows[1]["parsed_body"] == "body one"
+    assert rows[2]["parsed_body"] == 'with "quotes"'
+    assert rows[1]["parsed_ts"] == rows[1]["ts"]
+    assert rows[2]["parsed_attrs"]["event_type"] == "view"
+
+
+def test_body_lines_null_to_empty(spark):
+    """body_marshaler.go:26-45: AsString of an empty body is ''."""
+    df = spark.createDataFrame([("a",), (None,), ("c",)], "text string")
+    vals = [r["value"] for r in body_lines(df).collect()]
+    assert sorted(vals) == ["", "a", "c"]
