@@ -12,15 +12,16 @@ order-dependent; a distributed engine must not be, so this is a
           Pure expressions, no shuffle beyond what downstream needs.
 
   pass 2 (distinct templates only): char-trigram MinHash over the
-          *distinct* template strings, band-bucket LSH, then DISTRIBUTED
-          connected components (iterative min-label propagation over band
-          buckets) → ``cluster_id`` (= min fingerprint of the component, so
-          ids are stable under any input order/partitioning). The driver
-          never holds the template set: for log-shaped text templates are
-          code sites (tiny), but free-form agent-transcript turns do NOT
-          collapse under masking — distinct templates can approach distinct
-          texts, so every stage here is a DataFrame op (explode → groupBy →
-          iterative join), O(templates · bands) shuffle, no collect.
+          *distinct* template strings, band-bucket LSH, then connected
+          components → ``cluster_id`` (= min fingerprint of the component,
+          so ids are stable under any input order/partitioning). Component
+          resolution is size-adaptive with a HARD driver bound: a
+          ``limit(N+1)`` probe routes small band sets (log-shaped text:
+          templates are code sites) through a bounded driver union-find,
+          and everything larger through DISTRIBUTED iterative min-label
+          propagation (explode → groupBy → iterative join, O(templates ·
+          bands) shuffle) — free-form transcript text whose templates
+          don't collapse under masking can never OOM the driver.
 
 Label propagation converges in O(component diameter in band-graph hops)
 iterations; each iteration is one groupBy + two joins + one scalar action
@@ -120,11 +121,11 @@ def _propagate_min_labels(bands: DataFrame, max_iters: int = 50) -> DataFrame:
     buckets. Fixpoint = every component labeled with its min fingerprint —
     identical to union-find, but the driver never sees a template.
     """
+    from pyspark.sql import Observation
+
     labels = (
         bands.select("fingerprint").distinct().withColumn("label", F.col("fingerprint"))
-    )
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         banded = bands.join(labels, "fingerprint")
         bmin = banded.groupBy("band").agg(F.min("label").alias("bmin"))
@@ -133,41 +134,96 @@ def _propagate_min_labels(bands: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy("fingerprint")
             .agg(F.min("bmin").alias("plabel"))
         )
-        new_labels = (
-            labels.join(prop, "fingerprint", "left")
-            .select(
-                "fingerprint",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("label"),
+        # one Spark action per round: the changed-count rides the
+        # checkpointing job as an observed metric (a separate agg job per
+        # round is pure serial driver overhead at scale)
+        obs = Observation()
+        merged = (
+            labels.withColumnRenamed("label", "_old")
+            .join(prop, "fingerprint", "left")
+            .withColumn(
+                "label",
+                F.least(F.col("_old"), F.coalesce(F.col("plabel"), F.col("_old"))),
             )
-            .localCheckpoint(eager=True)  # truncate lineage between rounds
+            .observe(
+                obs,
+                F.sum(F.when(F.col("label") < F.col("_old"), 1).otherwise(0)).alias("changed"),
+            )
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:  # min-propagation strictly decreases until fixpoint
+        labels = merged.select("fingerprint", "label").localCheckpoint(eager=True)
+        if not obs.get.get("changed"):  # fixpoint (None on empty input)
             break
-        prev_sum = new_sum
     return labels
 
 
+def _driver_components(rows: list) -> list[tuple[int, int]]:
+    """Union-find over a BOUNDED list of (fingerprint, band) rows —
+    identical result to _propagate_min_labels (same band graph, same
+    min-fingerprint labels), used only below the size bound."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    bucket_first: dict[str, int] = {}
+    fps: set[int] = set()
+    for r in rows:
+        fp, band = r["fingerprint"], r["band"]
+        fps.add(fp)
+        if band in bucket_first:
+            ra, rb = find(bucket_first[band]), find(fp)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        else:
+            bucket_first[band] = fp
+    roots: dict[int, int] = {}
+    comp = {fp: find(fp) for fp in fps}
+    for fp, root in comp.items():
+        roots[root] = min(roots.get(root, fp), fp)
+    return [(fp, roots[root]) for fp, root in comp.items()]
+
+
 def cluster_templates(
-    templates: DataFrame, n_hashes: int = 8, band_size: int = 2
+    templates: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    driver_max_rows: int = 400_000,
 ) -> DataFrame:
     """Pass 2: (template, fingerprint) → + cluster_id.
 
-    Input should be the DISTINCT (template, fingerprint) pairs. Fully
-    distributed: band generation is explode+groupBy, component resolution
-    is iterative min-label propagation — no driver-side collect, so
-    free-text template sets that don't collapse under masking (agent
-    transcripts) cannot OOM the driver. cluster_id = min fingerprint in the
-    LSH-connected component (order/partitioning independent). NULL
-    templates pass through with NULL cluster_id.
+    Input should be the DISTINCT (template, fingerprint) pairs. Component
+    resolution is size-adaptive with a HARD driver bound:
+
+      * the band set is probed with ``limit(driver_max_rows + 1)`` — one
+        bounded collect, never more than ~40 MB of driver memory;
+      * within the bound (log-shaped data: templates are code sites) the
+        components resolve driver-side in microseconds (2 Spark jobs
+        total, no iteration overhead);
+      * past the bound (free-form transcript text, where distinct
+        templates ≈ distinct rows) the fully distributed min-label
+        propagation runs — the driver never holds the set.
+
+    Both paths produce the identical mapping: connected components of the
+    template↔band graph labeled by min fingerprint (order/partitioning
+    independent). NULL templates pass through with NULL cluster_id.
     """
     bands = template_bands(templates, n_hashes, band_size)
-    mapping = _propagate_min_labels(bands).withColumnRenamed("label", "cluster_id")
+    spark = templates.sparkSession
+    probe = bands.limit(driver_max_rows + 1).collect()
+    if len(probe) <= driver_max_rows:
+        # probe returned the COMPLETE band set (limit k+1 yielding ≤k rows)
+        pairs = _driver_components(probe)
+        mapping = spark.createDataFrame(
+            pairs or [(0, 0)], "fingerprint long, cluster_id long"
+        )
+        if not pairs:
+            mapping = mapping.limit(0)
+        mapping = F.broadcast(mapping)
+    else:
+        mapping = _propagate_min_labels(bands).withColumnRenamed("label", "cluster_id")
     return templates.join(mapping, "fingerprint", "left")
 
 

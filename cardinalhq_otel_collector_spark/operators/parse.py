@@ -57,10 +57,17 @@ def parse_keyvalue(
     """
     out = df
     for name, typ in fields.items():
-        pat = rf'(?:^|\s){re.escape(name)}=(?:"([^"]*)"|(\S+))'
-        quoted = F.regexp_extract(F.col(text_col), pat, 1)
-        bare = F.regexp_extract(F.col(text_col), pat, 2)
-        raw = F.nullif(F.when(quoted != "", quoted).otherwise(bare), F.lit(""))
+        # ONE regex execution per field: capture the value with its quotes,
+        # then strip them with cheap (non-regex) string ops. The previous
+        # two-group form ran the same regex twice per field (regexp_extract
+        # re-executes per group index) — measured ~2x the parse CPU.
+        pat = rf'(?:^|\s){re.escape(name)}=("[^"]*"|\S+)'
+        got = F.regexp_extract(F.col(text_col), pat, 1)
+        is_quoted = got.startswith('"') & got.endswith('"') & (F.length(got) >= 2)
+        unquoted = F.when(
+            is_quoted, got.substr(F.lit(2), F.length(got) - 2)
+        ).otherwise(got)
+        raw = F.nullif(unquoted, F.lit(""))
         col = raw if typ == "string" else raw.cast(typ)
         out = out.withColumn(prefix + name, col)
     return out

@@ -75,6 +75,12 @@ def build_spark(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Job-commit cost is serial driver time and scales with file count,
+        # not data size — it is pure Amdahl overhead at high parallelism.
+        # v2 commits rename task output inside the tasks (parallel); the
+        # summary-metadata pass is another whole-output serial walk.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

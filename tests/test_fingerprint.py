@@ -112,10 +112,28 @@ def test_cluster_scales_past_driver_memory_shape(spark):
     # free-text corpora use wider bands (band_size=4 → collision needs 4
     # matching minhashes) — the log-template default (2) is tuned for
     # code-site templates and over-merges high-volume random text.
-    out = cluster_templates(tpl, n_hashes=8, band_size=4)
+    # driver_max_rows=0 forces the fully distributed path (the size-probe
+    # would otherwise route 200k band rows through the bounded driver path).
+    out = cluster_templates(tpl, n_hashes=8, band_size=4, driver_max_rows=0)
     assert out.count() == 100_000
     n_clusters = out.select("cluster_id").distinct().count()
     assert n_clusters > 90_000
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The bounded driver union-find and the distributed min-label
+    propagation must produce the IDENTICAL cluster mapping."""
+    rows = [(f"connection {i} from host server-{i%5} retry {i%3} timeout {i}ms",) for i in range(40)]
+    rows += [(f"user {i} logged in from 10.0.0.{i%9}",) for i in range(40)]
+    rows += [("the quick brown fox",), ("pack my box with five dozen jugs",)]
+    tpl = fingerprint(spark.createDataFrame(rows, "text string")).select(
+        "template", "fingerprint"
+    ).distinct()
+    a = {r["fingerprint"]: r["cluster_id"]
+         for r in cluster_templates(tpl).collect()}
+    b = {r["fingerprint"]: r["cluster_id"]
+         for r in cluster_templates(tpl, driver_max_rows=0).collect()}
+    assert a == b
 
 
 def test_fingerprint_no_python_on_row_path(spark, transcripts_df):
