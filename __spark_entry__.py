@@ -397,6 +397,17 @@ def q_agg_type_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exceptions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptionsconnector (manifest :276): error rollup + stable exemplar."""
+    from cardinalhq_otel_collector_spark.operators.exceptions import exceptions_rollup
+
+    out = exceptions_rollup(
+        _read(spark, sf_dir, "events"), "event_type = 'error'",
+        keys=["user_id"], message_col="props", interval="1 hour",
+    )
+    return out.select("user_id", "bucket_start", "n_exceptions", "exemplar")
+
+
 def q_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """roundrobinconnector (manifest :281): deterministic md5-mod spread."""
     from cardinalhq_otel_collector_spark.sources.connectors import round_robin_assign
@@ -801,6 +812,12 @@ SELECT event_type, bucket_start, agg_type, n,
 FROM g
 """
 
+_EXCEPTIONS_DUCK = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       COUNT(*) AS n_exceptions, MIN(props) AS exemplar
+FROM events WHERE event_type = 'error' GROUP BY 1, 2
+"""
+
 _ROUND_ROBIN_DUCK = """
 SELECT CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INTEGER) AS rr_sink,
        COUNT(*) AS n
@@ -1058,6 +1075,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_histogram": q_latency_histogram,
     "red_metrics": q_red_metrics,
     "agg_type_override": q_agg_type_override,
+    "exceptions_rollup": q_exceptions_rollup,
     "round_robin": q_round_robin,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
@@ -1102,6 +1120,7 @@ def _oracles() -> dict[str, str]:
         "latency_histogram": _HISTOGRAM_DUCK,
         "red_metrics": _RED_DUCK,
         "agg_type_override": _AGG_OVERRIDE_DUCK,
+        "exceptions_rollup": _EXCEPTIONS_DUCK,
         "round_robin": _ROUND_ROBIN_DUCK,
         "doc_token_count": _TOKEN_COUNT_DUCK,
         "doc_quality": _QUALITY_DUCK,

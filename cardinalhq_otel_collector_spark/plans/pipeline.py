@@ -194,11 +194,18 @@ def run_pipeline(
     else:
         _t0 = _time.perf_counter()
         # pruned read of text only; re-derive (template, fingerprint) — same
-        # expressions as pass 1, so fingerprints line up by construction
+        # expressions as pass 1, so fingerprints line up by construction.
+        # persist() the distinct output: it is the SMALL side (distinct
+        # templates), and both the clustering size-probe and the final join
+        # consume it — without the cache each would re-scan and re-mask the
+        # full fact table (the masking regexes dominate this stage's cost).
+        from pyspark.storagelevel import StorageLevel
+
         templates = (
             fingerprint(catalog.read(ROUTED_TABLE).select("text"))
             .select("template", "fingerprint")
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         mapping = cluster_templates(templates)
         from pyspark.sql import Observation
@@ -209,6 +216,7 @@ def run_pipeline(
         )
         catalog.write(mapping, CLUSTERS_TABLE)
         lineage.commit(run_id, STAGE_CLUSTERS, rows_out=obs_c.get["n"])
+        templates.unpersist()
         summary["stages_run"].append(STAGE_CLUSTERS)
         summary["timings"][STAGE_CLUSTERS] = round(_time.perf_counter() - _t0, 3)
     if fail_after_stage == STAGE_CLUSTERS:
