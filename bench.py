@@ -189,6 +189,7 @@ def main_default(sf_dir: str, cores: int, skip_queries: bool = False) -> dict:
 
 
 def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", rounds))
     """Alternating best-of-N per parallelism level.
 
     The sandbox host oversubscribes CPU (hypervisor steal produces up to
