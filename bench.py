@@ -248,19 +248,92 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
     return report
 
 
+def main_skew(cores: int = 8, n_convs: int = 40_000, hot_multiplier: int = 1000) -> dict:
+    """North-rule skew evidence: one conversation carries ~1000x the turns.
+
+    Without salting the whole hot conversation hashes to ONE shuffle
+    partition of the pre-write repartition — a straggler task bounds the
+    stage. With salting (pmod(xxhash64(conv_id, turn_idx), salt)) the hot
+    conversation spreads across salt buckets. Reported: routed_write time
+    salt=0 vs salt=4*cores on the identical skewed input.
+    """
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.config import PipelineConfig
+    from cardinalhq_otel_collector_spark.datagen import routing_rules, transcripts
+    from cardinalhq_otel_collector_spark.plans.pipeline import run_pipeline
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    spark = _build(cores)
+    try:
+        src = _mkdtemp("bench_skew_src_")
+        transcripts(
+            spark, n_convs=n_convs, hot_convs=1, hot_multiplier=hot_multiplier,
+            partitions=4 * cores,
+        ).write.mode("overwrite").parquet(src + "/t")
+        df = spark.read.parquet(src + "/t")
+        n = df.count()
+        hot = df.groupBy("conv_id").count().orderBy(F.desc("count")).limit(1).collect()[0]
+        timings = {}
+        for salt in (0, 4 * cores):
+            cfg = PipelineConfig(rules=routing_rules(), salt_partitions=salt)
+            best = None
+            for attempt in range(2):
+                wh = _mkdtemp(f"bench_skew_wh_{salt}_")
+                t0 = time.perf_counter()
+                s = run_pipeline(spark, df, Catalog(spark, wh), config=cfg,
+                                 run_id=f"skew{salt}-{attempt}")
+                el = time.perf_counter() - t0
+                _sh.rmtree(wh, ignore_errors=True)
+                if best is None or el < best[0]:
+                    best = (el, s["timings"])
+            timings[salt] = best
+        _sh.rmtree(src, ignore_errors=True)
+    finally:
+        spark.stop()
+    report = {
+        "metric": "skew_salting_speedup",
+        "value": round(timings[0][0] / timings[4 * cores][0], 3),
+        "unit": f"T(salt=0)/T(salt={4*cores}) at {hot_multiplier}x hot conv",
+        "n_turns": n,
+        "hot_conv_turns": hot["count"],
+        "salt0": timings[0],
+        "salted": timings[4 * cores],
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Skew run ({time.strftime('%Y-%m-%d %H:%M:%S')}, local[{cores}], "
+            f"best of 2 per config)\n\n"
+            f"{n} turns, hottest conversation = {hot['count']} turns "
+            f"(~{hot_multiplier}x median).\n\n"
+            f"| config | pipeline sec | stage timings |\n|---|---|---|\n"
+            f"| salt=0 | {timings[0][0]:.1f} | {timings[0][1]} |\n"
+            f"| salt={4*cores} | {timings[4*cores][0]:.1f} | {timings[4*cores][1]} |\n\n"
+            f"Salting speedup under skew: **{report['value']}x** (north-rule "
+            f"skew obligation: salted repartitioning on conv_id).\n"
+        )
+    return report
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-conversation salting benchmark (appends to BENCH.md)")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
     ap.add_argument("--pipeline-only", action="store_true",
                     help="skip query timings (used by --scaling subprocesses)")
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.skew:
+        out = main_skew(args.cores)
+    elif args.scaling:
         out = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
     else:
         out = main_default(args.sf_dir, args.cores, skip_queries=args.pipeline_only)
