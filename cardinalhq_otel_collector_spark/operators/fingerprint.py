@@ -86,14 +86,21 @@ def template_bands(
         .where(F.col("template").isNotNull())
         .distinct()
     )
+    # Collapse mask placeholders to ONE character before shingling: masked
+    # templates are otherwise full of '<num>' trigrams, which inflate the
+    # Jaccard of ANY two number-heavy templates and transitively merge
+    # unrelated families (Drain compares token structure, where a wildcard
+    # is one slot — this mirrors that weight).
+    sim_text = F.regexp_replace(F.col("template"), r"<(num|hex|id)>", "§")
+    tpl = tpl.withColumn("_sim", sim_text)
     pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length("template") - 2, F.lit(1)))
+        F.sequence(F.lit(1), F.greatest(F.length("_sim") - 2, F.lit(1)))
     ).alias("pos")
     grams = (
-        tpl.select("fingerprint", "template", pos)
+        tpl.select("fingerprint", "_sim", pos)
         .select(
             "fingerprint",
-            F.col("template").substr(F.col("pos"), F.lit(3)).alias("g"),
+            F.col("_sim").substr(F.col("pos"), F.lit(3)).alias("g"),
         )
         .distinct()
     )
@@ -103,13 +110,22 @@ def template_bands(
             for s in range(n_hashes)
         ]
     )
+    # Drain-faithful structural guard: the parse tree's second level keys
+    # on the leading token (after preprocessing), so two templates whose
+    # first tokens differ are never candidates — this is what keeps
+    # 'Receiving block …' and 'Accepted socket …' apart even when they
+    # share a long masked motif (e.g. an <ip>:<port> pattern).
+    first_tok = F.split(F.col("_sim"), " ").getItem(0)
+    keyed = sig.join(
+        tpl.select("fingerprint", first_tok.alias("_tok0")), "fingerprint"
+    )
     n_bands = n_hashes // band_size
     out: DataFrame | None = None
     for b in range(n_bands):
-        cols = [F.lit(str(b))] + [
+        cols = [F.col("_tok0"), F.lit(str(b))] + [
             F.col(f"h{b * band_size + j}") for j in range(band_size)
         ]
-        part = sig.select("fingerprint", F.concat_ws("#", *cols).alias("band"))
+        part = keyed.select("fingerprint", F.concat_ws("#", *cols).alias("band"))
         out = part if out is None else out.unionByName(part)
     return out
 
