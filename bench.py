@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "template_mining",
     "doc_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "sumo_marshal",
+    "latency_histogram",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
