@@ -511,6 +511,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, k=3, bits=4, n_bands=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (md5-seeded init,
+    fixed Lloyd rounds) → probe nearest buckets → exact rerank."""
+    from cardinalhq_otel_collector_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=2, n_iters=2)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal decode plumbing (codec stubbed — the
     deterministic md5 feature stand-in IS the oracle contract here)."""
@@ -1034,6 +1044,82 @@ scored AS (
 SELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
 """
 
+def _ivf_duck(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3) -> str:
+    """IVF oracle: the same deterministic k-means (md5-seeded init, fixed
+    Lloyd rounds, decimal-exact sums, cid tiebreaks) unrolled as CTEs."""
+    parts = [
+        "idx AS (SELECT unnest(range(1, 65)) AS i)",
+        """e AS (SELECT vec_id, CAST(i.i AS INT) AS i,
+             CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS v
+      FROM embeddings, idx i)""",
+        f"""seeds AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+        FROM embeddings) WHERE cid < {k})""",
+        "cent0 AS (SELECT s.cid, e.i, e.v AS c FROM e JOIN seeds s USING (vec_id))",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(
+            f"""d{it} AS (SELECT e.vec_id, c.cid,
+               SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,18))) AS dist2
+        FROM e JOIN {prev} c ON c.i = e.i GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+          FROM d{it}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cent{it} AS (SELECT a.cid, e.i,
+               CAST(SUM(CAST(e.v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM e JOIN a{it} a USING (vec_id) GROUP BY 1, 2)"""
+        )
+    final = f"cent{n_iters}"
+    parts += [
+        f"""dinv AS (SELECT e.vec_id, c.cid,
+             SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,18))) AS dist2
+      FROM e JOIN {final} c ON c.i = e.i GROUP BY 1, 2)""",
+        """inv AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM dinv) WHERE rn = 1)""",
+        "qe AS (SELECT vec_id AS qid, i, v FROM e WHERE vec_id < 5)",
+        f"""qd AS (SELECT qe.qid, c.cid,
+             SUM(CAST((qe.v - c.c) * (qe.v - c.c) AS DECIMAL(38,18))) AS dist2
+      FROM qe JOIN {final} c ON c.i = qe.i GROUP BY 1, 2)""",
+        f"""probes AS (SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, cid) AS rn
+        FROM qd) WHERE rn <= {n_probe})""",
+        """cands AS (SELECT DISTINCT p.qid, inv.vec_id
+      FROM inv JOIN probes p USING (cid) WHERE inv.vec_id <> p.qid)""",
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)",
+        """norms AS (
+      SELECT e2.vec_id,
+             CAST(SUM(CAST(CAST(e2.embedding[CAST(idx.i AS INT)] AS DOUBLE)
+                           * CAST(e2.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nrm2
+      FROM embeddings e2 CROSS JOIN idx GROUP BY e2.vec_id)""",
+        """dots AS (
+      SELECT c.qid, c.vec_id,
+             CAST(SUM(CAST(CAST(q.qe[CAST(idx.i AS INT)] AS DOUBLE)
+                           * CAST(e2.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM cands c
+      JOIN embeddings e2 ON e2.vec_id = c.vec_id
+      JOIN q ON q.qid = c.qid
+      CROSS JOIN idx
+      GROUP BY c.qid, c.vec_id)""",
+        """scored AS (
+      SELECT d.qid, d.vec_id,
+             ROUND(d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.qid
+                                ORDER BY d.dot / (sqrt(nq.nrm2) * sqrt(nv.nrm2)) DESC, d.vec_id) AS rn
+      FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nv ON nv.vec_id = d.vec_id)""",
+    ]
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\nSELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= {topk}"
+
+
 _MULTIMODAL_DUCK = """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
@@ -1089,6 +1175,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1134,6 +1221,7 @@ def _oracles() -> dict[str, str]:
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
         "ann_lsh_topk": _ANN_LSH_DUCK,
+        "ann_ivf_topk": _ivf_duck(),
         "multimodal_decode": _MULTIMODAL_DUCK,
     }
 

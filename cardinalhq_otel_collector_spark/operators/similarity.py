@@ -28,6 +28,9 @@ __all__ = [
     "hyperplane_table",
     "hyperplane_buckets",
     "lsh_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -146,6 +149,165 @@ def hyperplane_buckets(
     bit = F.when(F.col("d") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
     return dots.groupBy(id_col, "band").agg(
         F.sum(bit * F.expr(f"shiftleft(1L, cast(plane % {bits} as int))")).alias("bucket")
+    )
+
+
+def _sq_dists(e: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Decimal-summed squared L2 distance of every (vector, centroid) pair.
+    ``e`` is position-exploded (id, i, v); ``cent`` is (cid, i, c) and is
+    broadcast (k·dim rows — centroids are control-plane-sized)."""
+    d = F.col("v") - F.col("c")
+    return (
+        e.join(F.broadcast(cent), "i")
+        .groupBy(id_col, "cid")
+        .agg(F.sum((d * d).cast("decimal(38,18)")).alias("dist2"))
+    )
+
+
+def _argmin_cid(dists: DataFrame, id_col: str) -> DataFrame:
+    """(id, cid) of the nearest centroid, ties broken by smallest cid —
+    deterministic under any partitioning (dist2 is decimal-exact)."""
+    w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cid"))
+    return (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic k-means centroids as a
+    (cid, i, c) table.
+
+    Init = the k corpus vectors with the smallest md5(id) (no RNG — same
+    centroids on any cluster/engine); ``n_iters`` FIXED Lloyd rounds
+    (fixed, not convergence-tested, so job count and results are
+    deterministic). Means accumulate in DECIMAL, assignments tie-break by
+    cid, so every round is bit-reproducible. Centroids are collected to
+    the driver per round — k·dim values, control-plane state (exactly
+    what MLlib's k-means does between rounds)."""
+    spark = corpus.sparkSession
+    e = _pos_explode(corpus.select(id_col, vec_col), vec_col, dim, "v").select(
+        id_col, "i", "v"
+    )
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    seeds = (
+        corpus.select(id_col)
+        .withColumn("cid", F.row_number().over(w) - 1)
+        .filter(F.col("cid") < k)
+    )
+    cent = (
+        e.join(F.broadcast(seeds), id_col)
+        .select("cid", "i", F.col("v").alias("c"))
+    )
+    for _ in range(n_iters):
+        assign = _argmin_cid(_sq_dists(e, cent, id_col), id_col)
+        upd = (
+            e.join(assign, id_col)
+            .groupBy("cid", "i")
+            .agg(
+                # exact decimal sum → double, THEN double division: both
+                # steps are engine-portable (decimal/int division scale
+                # rules differ between engines; double division doesn't)
+                (F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                 / F.count(F.lit(1))).alias("c")
+            )
+        )
+        rows = upd.collect()  # k·dim values — bounded control-plane state
+        cent = spark.createDataFrame(rows, "cid int, i int, c double")
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cent: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The inverted file: (vec_id, cid) — each vector filed under its
+    nearest centroid. One broadcast join + one hash agg; the index itself
+    is a table, so at 10^9 vectors it partitions like any fact table."""
+    e = _pos_explode(corpus.select(id_col, vec_col), vec_col, dim, "v").select(
+        id_col, "i", "v"
+    )
+    return _argmin_cid(_sq_dists(e, cent, id_col), id_col)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest centroid
+    buckets per query, exact cosine rerank within them.
+
+    Per-query cost is n_probe/n_centroids of the corpus instead of all of
+    it; the candidate join is an equi-join on cid (shuffle bounded by the
+    probed buckets), never an all-pairs cross join."""
+    cent = ivf_centroids(corpus, n_centroids, n_iters, vec_col, id_col, dim)
+    inv = ivf_assign(corpus, cent, vec_col, id_col, dim)
+    qe = _pos_explode(queries.select(id_col, vec_col), vec_col, dim, "v").select(
+        F.col(id_col).alias("qid"), "i", "v"
+    )
+    qd = (
+        qe.join(F.broadcast(cent), "i")
+        .groupBy("qid", "cid")
+        .agg(F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).cast("decimal(38,18)")).alias("dist2"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("cid"))
+    probes = (
+        qd.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "cid")
+    )
+    cands = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", id_col)
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    pos = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i")
+    joined = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "qe", id_col, vec_col, pos)
+    )
+    prods = joined.withColumn(
+        "p",
+        (
+            F.element_at(F.col("qe"), F.col("i")).cast("double")
+            * F.element_at(F.col(vec_col), F.col("i")).cast("double")
+        ).cast("decimal(38,18)"),
+    )
+    dots = prods.groupBy("qid", id_col).agg(F.sum("p").cast("double").alias("dot"))
+    nq = norms(queries, vec_col, id_col, dim).withColumnRenamed(id_col, "qid").withColumnRenamed("nrm2", "qn")
+    nc = norms(corpus, vec_col, id_col, dim)
+    scored = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(nc, id_col)
+        .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+        .select("qid", id_col, "cosine", "nn_rank")
     )
 
 

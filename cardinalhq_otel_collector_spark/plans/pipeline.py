@@ -193,18 +193,27 @@ def run_pipeline(
         summary["stages_skipped"].append(STAGE_CLUSTERS)
     else:
         _t0 = _time.perf_counter()
-        # pruned read of text only; re-derive (template, fingerprint) — same
-        # expressions as pass 1, so fingerprints line up by construction.
-        # persist() the distinct output: it is the SMALL side (distinct
-        # templates), and both the clustering size-probe and the final join
-        # consume it — without the cache each would re-scan and re-mask the
-        # full fact table (the masking regexes dominate this stage's cost).
+        # The routed facts already carry ``fingerprint`` (pass 1), so the
+        # fact-side work here is ONE hash aggregation: a representative
+        # text per fingerprint (min — deterministic). Only those ~|distinct
+        # templates| representatives get re-masked — every text with the
+        # same fingerprint masks to the same template by construction, so
+        # re-masking all rows (3 regexes × 10^12 texts) would buy nothing.
+        # persist() the tiny result: the clustering size-probe and the
+        # final join both consume it.
         from pyspark.storagelevel import StorageLevel
 
+        from ..operators.fingerprint import mask_template
+
+        reps = (
+            catalog.read(ROUTED_TABLE)
+            .select("fingerprint", "text")
+            .groupBy("fingerprint")
+            .agg(F.min("text").alias("text"))
+        )
         templates = (
-            fingerprint(catalog.read(ROUTED_TABLE).select("text"))
+            reps.withColumn("template", mask_template(F.col("text")))
             .select("template", "fingerprint")
-            .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         mapping = cluster_templates(templates)

@@ -63,3 +63,29 @@ def test_sign_buckets_deterministic(spark):
     b = {r["vec_id"]: r["bucket"] for r in sign_buckets(df.repartition(3)).collect()}
     assert a == b
     assert a[0][0] == "1" and a[3][0] == "0"
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF (md5-seeded deterministic k-means, probe=2/8) must recover most
+    exact neighbors — and be exactly reproducible across partitionings."""
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    embeddings_df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embeddings_df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["nn_rank"]): r["vec_id"]
+        for r in brute_force_topk(q, embeddings_df, k=3).collect()
+    }
+    approx = ivf_topk(q, embeddings_df, k=3, n_centroids=8, n_probe=2).collect()
+    approx_map = {(r["qid"], r["nn_rank"]): r["vec_id"] for r in approx}
+    hits = sum(1 for kk, v in exact.items() if approx_map.get(kk) == v)
+    assert hits >= int(0.6 * len(exact))  # probe=2/8 recall floor
+
+    again = ivf_topk(
+        q.repartition(5), embeddings_df.repartition(7), k=3, n_centroids=8, n_probe=2
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
