@@ -65,27 +65,34 @@ def test_sign_buckets_deterministic(spark):
     assert a[0][0] == "1" and a[3][0] == "0"
 
 
-def test_ivf_topk_recall_against_brute_force(spark):
-    """IVF (md5-seeded deterministic k-means, probe=2/8) must recover most
-    exact neighbors — and be exactly reproducible across partitionings."""
+def test_ivf_topk_exact_on_separated_clusters(spark):
+    """On well-separated clusters, IVF (k=4 centroids, probe=1) must agree
+    with brute force EXACTLY — and be reproducible across partitionings."""
     from cardinalhq_otel_collector_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
     )
     from pyspark.sql import functions as F
 
-    embeddings_df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    q = embeddings_df.filter(F.col("vec_id") < 5)
-    exact = {
-        (r["qid"], r["nn_rank"]): r["vec_id"]
-        for r in brute_force_topk(q, embeddings_df, k=3).collect()
-    }
-    approx = ivf_topk(q, embeddings_df, k=3, n_centroids=8, n_probe=2).collect()
-    approx_map = {(r["qid"], r["nn_rank"]): r["vec_id"] for r in approx}
-    hits = sum(1 for kk, v in exact.items() if approx_map.get(kk) == v)
-    assert hits >= int(0.6 * len(exact))  # probe=2/8 recall floor
+    dim = 8
+    rows = []
+    for c in range(4):
+        for m in range(40):
+            vec = [0.01 * ((c * 40 + m) % 7)] * dim
+            vec[c * 2] = 10.0 + 0.001 * m       # dominant cluster axis
+            vec[c * 2 + 1] = 1.0 + 0.002 * m
+            rows.append((c * 40 + m, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin([0, 45, 90, 135]))
+
+    exact = sorted(
+        (r["qid"], r["nn_rank"], r["vec_id"])
+        for r in brute_force_topk(q, emb, k=3, dim=dim).collect()
+    )
+    approx = ivf_topk(q, emb, k=3, n_centroids=4, n_probe=1, dim=dim).collect()
+    assert sorted((r["qid"], r["nn_rank"], r["vec_id"]) for r in approx) == exact
 
     again = ivf_topk(
-        q.repartition(5), embeddings_df.repartition(7), k=3, n_centroids=8, n_probe=2
+        q.repartition(3), emb.repartition(7), k=3, n_centroids=4, n_probe=1, dim=dim
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
