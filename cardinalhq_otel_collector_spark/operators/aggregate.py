@@ -31,6 +31,7 @@ __all__ = [
     "interval_stats",
     "aggregate_with_override",
     "split_by_flag",
+    "fan_back_tags",
 ]
 
 
@@ -149,3 +150,56 @@ def aggregate_with_override(
     for k, val in (additional_attributes or {}).items():
         out = out.withColumn(k, F.lit(val))
     return out
+
+
+def fan_back_tags(df: DataFrame, name_col: str = "name") -> DataFrame:
+    """A5 tag fan-back (aggregate.go:121-191 setTags; golden
+    metrics_test.go:118-188): the aggregation group key carries flattened
+    tag columns whose prefixes say which scope each tag belongs to on
+    re-emit —
+
+      ``resource.*``        → resource attributes (prefix stripped)
+      ``instrumentation.*`` → scope attributes
+      ``metric.*``          → datapoint attributes
+      ``metadata.metric.name`` → renames the emitted metric
+
+    In the columnar model each scope becomes a map column
+    (resource_attrs / scope_attrs / dp_attrs); the prefixed flat columns
+    are consumed. Pure projection, values cast to string (attr maps are
+    string-typed in the reference's tag table).
+    """
+    res: dict[str, object] = {}
+    scope: dict[str, object] = {}
+    dp: dict[str, object] = {}
+    out_name = F.col(name_col)
+    drop: list[str] = []
+    for c in df.columns:
+        col = F.col(f"`{c}`").cast("string")
+        if c == "metadata.metric.name":
+            out_name = F.coalesce(col, F.col(name_col))
+            drop.append(c)
+        elif c.startswith("resource."):
+            res[c[len("resource."):]] = col
+            drop.append(c)
+        elif c.startswith("instrumentation."):
+            scope[c[len("instrumentation."):]] = col
+            drop.append(c)
+        elif c.startswith("metric."):
+            dp[c[len("metric."):]] = col
+            drop.append(c)
+
+    def as_map(d: dict[str, object]):
+        if not d:
+            return F.create_map().cast("map<string,string>")
+        pairs = []
+        for k, v in d.items():
+            pairs += [F.lit(k), v]
+        return F.create_map(*pairs)
+
+    return (
+        df.withColumn("resource_attrs", as_map(res))
+        .withColumn("scope_attrs", as_map(scope))
+        .withColumn("dp_attrs", as_map(dp))
+        .withColumn(name_col, out_name)
+        .drop(*drop)
+    )

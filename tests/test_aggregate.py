@@ -70,3 +70,34 @@ def test_split_by_flag(spark):
     to_agg, passthrough = split_by_flag(df, "agg")
     assert [r["id"] for r in to_agg.collect()] == [1]
     assert sorted(r["id"] for r in passthrough.collect()) == [2, 3]
+
+
+def test_fan_back_tags_scopes_and_rename(spark):
+    """A5 golden (aggregate.go:121-191, metrics_test.go:118-188):
+    resource.* -> resource attrs, instrumentation.* -> scope attrs,
+    metric.* -> dp attrs, metadata.metric.name renames the metric."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import fan_back_tags
+
+    df = spark.createDataFrame(
+        [("old.name", "svc-1", "lib-a", "us-east", "new.name", 6.0)],
+        "name string, `resource.service.name` string, "
+        "`instrumentation.lib` string, `metric.region` string, "
+        "`metadata.metric.name` string, value double",
+    )
+    r = fan_back_tags(df).collect()[0]
+    assert r["name"] == "new.name"
+    assert r["resource_attrs"] == {"service.name": "svc-1"}
+    assert r["scope_attrs"] == {"lib": "lib-a"}
+    assert r["dp_attrs"] == {"region": "us-east"}
+    assert r["value"] == 6.0
+    # prefixed flat columns consumed
+    assert "resource.service.name" not in r.asDict()
+
+
+def test_fan_back_tags_null_metadata_keeps_name(spark):
+    from cardinalhq_otel_collector_spark.operators.aggregate import fan_back_tags
+
+    df = spark.createDataFrame(
+        [("keep.name", None)], "name string, `metadata.metric.name` string"
+    )
+    assert fan_back_tags(df).collect()[0]["name"] == "keep.name"
