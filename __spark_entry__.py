@@ -584,7 +584,7 @@ _INTERVAL_AGG_DUCK = """
 SELECT event_type, date_trunc('hour', ts) AS bucket_start,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY event_type, bucket_start
 """
@@ -709,7 +709,14 @@ SELECT {expr} AS template, COUNT(*) AS n FROM lines GROUP BY 1
 
 _SUMO_DUCK = """
 SELECT event_id,
-       '{"date": "' || strftime(ts, '%Y-%m-%d %H:%M:%S') || ' +0000 UTC","sourceName":"events","sourceHost":"host-'
+       '{"date": "' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+       -- Go time's '.999999999': fractional seconds only when nonzero,
+       -- trailing zeros trimmed (extract(microsecond) includes whole
+       -- seconds in DuckDB, hence the % 1000000)
+       || CASE WHEN extract(microsecond FROM ts) % 1000000 > 0
+               THEN '.' || rtrim(lpad(CAST(extract(microsecond FROM ts) % 1000000 AS VARCHAR), 6, '0'), '0')
+               ELSE '' END
+       || ' +0000 UTC","sourceName":"events","sourceHost":"host-'
        || CAST(user_id AS VARCHAR) || '","sourceCategory":"' || event_type
        || '","fields":{"account":"dev","region":"us-east-1"},"message":'
        || to_json(struct_pack(log := props, "user" := 'u' || CAST(user_id AS VARCHAR)))

@@ -83,6 +83,11 @@ def interval_stats(
     The sum is accumulated in DECIMAL(18,6) and cast back to DOUBLE so the
     result is bit-stable under any partitioning / engine (float sums are
     order-dependent); avg is derived from that exact sum.
+
+    NULL-value semantics: ``n`` counts ROWS (datapoints, incl. NULL
+    values — the reference counts datapoints, aggregate.go:204-294), but
+    ``avg_value`` divides by the NON-NULL count so NULL values are ignored
+    (matching F.avg / SQL AVG), never silently treated as 0.
     """
     v = F.col(value_col)
     dec = v.cast("decimal(18,6)")
@@ -90,11 +95,13 @@ def interval_stats(
         df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(v).alias("_n_vals"),
             F.sum(dec).cast("double").alias("sum_value"),
             F.min(v).alias("min_value"),
             F.max(v).alias("max_value"),
         )
-        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n"), 6))
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("_n_vals"), 6))
+        .drop("_n_vals")
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
         .select(*keys, "bucket_start", "n", "sum_value", "avg_value", "min_value", "max_value")

@@ -43,14 +43,30 @@ def attr_value_to_string(col: Column, dtype: str) -> Column:
     if dtype in ("string",):
         return F.coalesce(col, F.lit(""))
     if dtype in ("boolean",):
-        return F.coalesce(F.when(col, "true").otherwise("false"), F.lit(""))
+        # NULL must map to '' (the documented contract), not fall into the
+        # otherwise("false") branch — when(NULL) is not-true, so the bare
+        # when/otherwise would render NULL as "false".
+        return F.when(col.isNull(), "").when(col, "true").otherwise("false")
     if dtype in ("int", "long", "integer", "bigint"):
         return F.coalesce(col.cast("string"), F.lit(""))
     if dtype in ("double", "float"):
-        # Spark renders 4.0 as "4.0"; Go 'f',-1 renders "4" — strip the
-        # trailing ".0" of integral doubles, keep fractional digits as-is.
-        s = col.cast("string")
-        return F.coalesce(F.regexp_replace(s, r"\.0$", ""), F.lit(""))
+        # Go FormatFloat('f',-1): shortest FIXED notation — integral
+        # doubles drop the '.0' AND never use scientific notation (Spark
+        # renders 1.0E7 for 10000000.0). Route integral doubles within
+        # long range through a long cast; strip '.0' on the rest.
+        # Limitation: non-integral doubles outside ~[1e-3, 1e7] still
+        # render in Spark's E-notation (shortest-round-trip fixed
+        # formatting has no built-in expression).
+        as_long = col.cast("long")
+        integral = (
+            col.isNotNull()
+            & (col == as_long.cast("double"))
+            & col.between(-9.2e18, 9.2e18)
+        )
+        s = F.when(integral, as_long.cast("string")).otherwise(
+            F.regexp_replace(col.cast("string"), r"\.0$", "")
+        )
+        return F.coalesce(s, F.lit(""))
     # arrays / maps / structs: their JSON encoding (valueToJSON)
     return F.coalesce(F.to_json(col), F.lit(""))
 
@@ -93,9 +109,18 @@ def sumo_ic_lines(
     ``fields`` are the resource attributes other than the three _source*
     keys; ``message`` is the log-record attributes plus the body under
     "log" (logBodyKey, sumo_marshaler.go:21). The date string matches Go's
-    pcommon.Timestamp String() rendering under UTC.
+    pcommon.Timestamp String() rendering under UTC, including fractional
+    seconds when nonzero (time.Time's ".999999999" trims trailing zeros;
+    Spark timestamps carry micros, so up to 6 digits appear).
     """
-    date = F.concat(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit(" +0000 UTC"))
+    # cast: unix_micros rejects TIMESTAMP_NTZ; the sub-second digits are
+    # timezone-invariant so the cast is safe for both timestamp types
+    micros = F.pmod(F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000))
+    frac = F.when(
+        micros > 0,
+        F.concat(F.lit("."), F.regexp_replace(F.format_string("%06d", micros), "0+$", "")),
+    ).otherwise(F.lit(""))
+    date = F.concat(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), frac, F.lit(" +0000 UTC"))
     fields_json = (
         F.to_json(_sorted_struct(fields)) if fields else F.lit("{}")
     )

@@ -107,7 +107,11 @@ def decode_features(df: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    # vectorized length (NaN for NULL payloads → 0); the
+                    # .map below is the CODEC BOUNDARY — one decoder call
+                    # per item is inherent to a codec, the batching win is
+                    # Arrow transfer + one Python invocation per batch
+                    "n_bytes": pdf["payload"].str.len().fillna(0).astype("int64"),
                     "features": pdf["payload"].map(_fake_features),
                 }
             )
@@ -140,7 +144,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             # vectorized over the Arrow batch: numpy offset arithmetic, one
             # list comprehension over pre-computed slices — no per-row
             # pandas.apply (row-at-a-time inside a batch defeats Arrow)
-            lens = pdf["payload"].map(lambda b: 0 if b is None else len(b)).to_numpy()
+            lens = pdf["payload"].str.len().fillna(0).astype("int64").to_numpy()
             starts = pdf["frame_idx"].to_numpy() % np.maximum(lens, 1)
             payloads = pdf["payload"].to_numpy()
             frames_col = [

@@ -197,11 +197,22 @@ def ivf_centroids(
     e = _pos_explode(corpus.select(id_col, vec_col), vec_col, dim, "v").select(
         id_col, "i", "v"
     )
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    seeds = (
-        corpus.select(id_col)
-        .withColumn("cid", F.row_number().over(w) - 1)
-        .filter(F.col("cid") < k)
+    # Seed selection via orderBy().limit(k) — Catalyst's TakeOrderedAndProject
+    # keeps the top-k per partition and merges k·partitions rows on the
+    # driver. (A row_number over a global Window funneled the whole corpus
+    # through ONE task — correct, but a single-executor bottleneck at 10^9
+    # vectors.) k ids are control-plane state, same as the per-round
+    # centroid collect below.
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("_id"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(r["_id"], cid) for cid, r in enumerate(seed_rows)],
+        corpus.select(id_col).schema.add("cid", "integer"),
     )
     cent = (
         e.join(F.broadcast(seeds), id_col)

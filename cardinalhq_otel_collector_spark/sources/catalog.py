@@ -23,7 +23,28 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["Catalog", "add_time_partitions"]
+__all__ = ["Catalog", "add_time_partitions", "validate_compression", "VALID_COMPRESSION"]
+
+# A13 — the compression surface (awss3exporter config.go:148-153 whitelists
+# gzip|zstd|uncompressed and rejects everything else at config-validate
+# time; writer.go:157-191 selects the codec per write). Parquet is a
+# self-compressing format, so the codec is applied INSIDE the file by the
+# writer — the ContentEncoding distinction of writer.go:102-109 (transfer
+# encoding for non-archive formats only) collapses to "never set" here,
+# exactly the IsCompressed-format branch of the reference.
+VALID_COMPRESSION = {"gzip", "zstd", "uncompressed", "none"}
+
+
+def validate_compression(compression: str | None) -> str | None:
+    """Mirror of the reference's config whitelist: None → session default;
+    otherwise must be a member of VALID_COMPRESSION ('none' normalizes to
+    parquet's 'uncompressed'). Fails at config time, not mid-job."""
+    if compression is None:
+        return None
+    c = compression.lower()
+    if c not in VALID_COMPRESSION:
+        raise ValueError("unknown compression type")  # config.go:150
+    return "uncompressed" if c == "none" else c
 
 
 def add_time_partitions(df: DataFrame, ts_col: str = "ts", granularity: str = "hour") -> DataFrame:
@@ -65,14 +86,27 @@ class Catalog:
         table: str,
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
+        compression: str | None = None,
     ) -> None:
+        """``compression`` is the per-write codec choice (writer.go:157-191);
+        None inherits the session default (zstd, session.py). Validated
+        against the reference's whitelist before any job starts."""
+        codec = validate_compression(compression)
         w = df.write.mode(mode)
+        if codec is not None:
+            w = w.option("compression", codec)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        self.write(df, table, partition_by, mode="append")
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        compression: str | None = None,
+    ) -> None:
+        self.write(df, table, partition_by, mode="append", compression=compression)
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))

@@ -31,13 +31,25 @@ def failover_write(
 ) -> int:
     """Write to the first catalog in priority order that accepts the write;
     returns the index that won. Raises the LAST error if all levels fail
-    (failoverconnector exhausts its levels the same way)."""
+    (failoverconnector exhausts its levels the same way).
+
+    Error classification mirrors the reference's permanent-vs-retryable
+    split (internal/notify/notifier.go:370-409: 4xx permanent, 5xx
+    retryable): a PLAN error — AnalysisException (bad partition column,
+    missing column, type mismatch) — is permanent and identical at every
+    level, so it re-raises immediately instead of silently 'failing over'
+    a driver bug to the secondary sink. Only execution/commit/IO failures
+    fall through the priority list."""
+    from pyspark.errors import AnalysisException
+
     last_err: Exception | None = None
     for i, cat in enumerate(catalogs):
         try:
             cat.write(df, table, partition_by=partition_by)
             return i
-        except Exception as e:  # noqa: BLE001 — any sink failure falls through
+        except AnalysisException:
+            raise  # permanent: the plan is wrong, every level would fail
+        except Exception as e:  # noqa: BLE001 — sink/IO failure falls through
             last_err = e
     assert last_err is not None
     raise last_err

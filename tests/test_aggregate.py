@@ -101,3 +101,21 @@ def test_fan_back_tags_null_metadata_keeps_name(spark):
         [("keep.name", None)], "name string, `metadata.metric.name` string"
     )
     assert fan_back_tags(df).collect()[0]["name"] == "keep.name"
+
+
+def test_interval_stats_null_values_ignored_in_avg(spark):
+    """NULL datapoint values: n counts rows, but avg divides by the
+    non-null count (F.avg semantics) — NULLs are not treated as 0."""
+    import datetime
+
+    from cardinalhq_otel_collector_spark.operators.aggregate import interval_stats
+
+    t = datetime.datetime(2026, 1, 1, 0, 0, 1)
+    df = spark.createDataFrame(
+        [("k", t, 2.0), ("k", t, None), ("k", t, 4.0)],
+        "key string, ts timestamp, value double",
+    )
+    row = interval_stats(df, keys=["key"], value_col="value", interval="1 hour").collect()[0]
+    assert row["n"] == 3
+    assert row["sum_value"] == 6.0
+    assert row["avg_value"] == 3.0  # 6/2, not 6/3

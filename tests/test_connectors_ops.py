@@ -115,3 +115,20 @@ def test_unroll_with_index(spark):
     df = spark.createDataFrame([(1, ["a", "b", "c"])], "id int, xs array<string>")
     rows = unroll_with_index(df, "xs", "x").collect()
     assert [(r["element_idx"], r["x"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_failover_permanent_plan_error_raises_immediately(spark, tmp_path):
+    """A bad partition column is a PLAN bug (AnalysisException — permanent,
+    identical at every level, notifier.go:370-409's 4xx analogue): it must
+    surface, not silently fail over to the secondary sink."""
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(5)
+    primary = Catalog(spark, str(tmp_path / "p"))
+    secondary = Catalog(spark, str(tmp_path / "s"))
+    with pytest.raises(AnalysisException):
+        failover_write(df, [primary, secondary], "t", partition_by=["no_such_column"])
+    # nothing was written anywhere — the failover did NOT mask the bug
+    import os
+
+    assert not os.path.exists(str(tmp_path / "s" / "t"))

@@ -143,3 +143,51 @@ def test_body_lines_null_to_empty(spark):
     df = spark.createDataFrame([("a",), (None,), ("c",)], "text string")
     vals = [r["value"] for r in body_lines(df).collect()]
     assert sorted(vals) == ["", "a", "c"]
+
+
+def test_attr_value_to_string_null_and_notation_edges(spark):
+    """NULL bool renders '' (not 'false' — when(NULL) falls to otherwise);
+    large integral doubles render fixed notation, not Spark's 1.0E7."""
+    df = spark.createDataFrame(
+        [(None, 1.0e7, -3.0e9, None)],
+        "b boolean, big double, neg double, dn double",
+    )
+    row = df.select(
+        attr_value_to_string(F.col("b"), "boolean").alias("b"),
+        attr_value_to_string(F.col("big"), "double").alias("big"),
+        attr_value_to_string(F.col("neg"), "double").alias("neg"),
+        attr_value_to_string(F.col("dn"), "double").alias("dn"),
+    ).collect()[0]
+    assert row["b"] == ""
+    assert row["big"] == "10000000"   # Go FormatFloat('f', -1)
+    assert row["neg"] == "-3000000000"
+    assert row["dn"] == ""
+
+
+def test_sumo_date_fractional_seconds(spark):
+    """pcommon.Timestamp String(): fractional seconds appear when nonzero,
+    trailing zeros trimmed (Go time layout '.999999999')."""
+    import datetime
+
+    from cardinalhq_otel_collector_spark.operators.marshal import sumo_ic_lines
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2026, 1, 1, 0, 0, 5, 250000), "a"),
+            (datetime.datetime(2026, 1, 1, 0, 0, 5, 0), "b"),
+            (datetime.datetime(2026, 1, 1, 0, 0, 5, 123456), "c"),
+        ],
+        "ts timestamp, body string",
+    )
+    out = sumo_ic_lines(
+        df,
+        source_name=F.lit("n"),
+        source_host=F.lit("h"),
+        source_category=F.lit("c"),
+        body=F.col("body"),
+        ts=F.col("ts"),
+    ).orderBy("body")
+    dates = [r["line"].split('","sourceName"')[0] for r in out.collect()]
+    assert dates[0] == '{"date": "2026-01-01 00:00:05.25 +0000 UTC'
+    assert dates[1] == '{"date": "2026-01-01 00:00:05 +0000 UTC'
+    assert dates[2] == '{"date": "2026-01-01 00:00:05.123456 +0000 UTC'
