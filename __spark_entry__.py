@@ -1202,8 +1202,8 @@ FROM agg GROUP BY sink
 
 def _lib_clusters_duck(n_rounds: int = 8) -> str:
     """Independent DuckDB implementation of the two-pass clustering:
-    mask → collapse placeholders → char trigrams → 8 md5 minhashes →
-    4 first-token-guarded bands → connected components via UNROLLED
+    mask → collapse placeholders → char trigrams → 12 md5 minhashes →
+    4 first-token-guarded bands of 3 → connected components via UNROLLED
     min-label propagation (labels are template strings, not xxhash64 —
     components and min(template) representatives are labeling-invariant,
     so the output matches Spark's min-fingerprint labels exactly).
@@ -1215,9 +1215,10 @@ def _lib_clusters_duck(n_rounds: int = 8) -> str:
     mask_expr = "text"
     for pat, mask in _MASKS:
         mask_expr = f"regexp_replace({mask_expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{mask}', 'g')"
-    hashes = ", ".join(f"MIN(md5('{s}|' || g)) AS h{s}" for s in range(8))
+    hashes = ", ".join(f"MIN(md5('{s}|' || g)) AS h{s}" for s in range(12))
     bands = " UNION ALL ".join(
-        f"SELECT template, concat_ws('#', tok0, '{b}', h{2 * b}, h{2 * b + 1}) AS band FROM keyed"
+        "SELECT template, concat_ws('#', tok0, '%d', h%d, h%d, h%d) AS band FROM keyed"
+        % (b, 3 * b, 3 * b + 1, 3 * b + 2)
         for b in range(4)
     )
     rounds, prev = [], "l0"

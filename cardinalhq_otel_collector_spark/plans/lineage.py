@@ -11,11 +11,24 @@ sink commit, read BEFORE re-running, which is exactly the at-least-once +
 dedup semantics without an HTTP queue. The ``_metrics`` analogue of the
 reference's self-metering counters (SURVEY.md §2A A18) rides in the same
 table via the ``rows_in``/``rows_out`` columns.
+
+Commits are written DRIVER-SIDE with pyarrow (one small parquet file per
+commit, unique name, directory append — the same atomic-visibility story
+as a Spark append: the file either exists completely or not at all).
+Lineage rows are control-plane-sized (a handful per run — the reference
+POSTs them one HTTP request at a time, notifier.go:294-340), and routing
+them through a full Spark write job cost 3 jobs of pure driver latency
+per pipeline run — measurable serial time in the N→4N scaling account.
+Reads stay Spark (the table is queryable like any other).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime
+import os
+import uuid
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.catalog import Catalog
@@ -44,6 +57,39 @@ class LineageLog:
             for r in self.read().filter(F.col("run_id") == run_id).select("stage").distinct().collect()
         }
 
+    def _append_rows(
+        self, rows: list[tuple[str, str, str | None, int | None, int]]
+    ) -> None:
+        if self.catalog.use_iceberg:
+            # Iceberg tables are catalog-tracked: a stray file is invisible
+            # without a snapshot commit, so route through the catalog (one
+            # tiny append job; the snapshot IS the post-commit notification)
+            df = self.catalog.spark.createDataFrame(rows, _SCHEMA).withColumn(
+                "committed_at", F.current_timestamp()
+            )
+            self.catalog.append(df, LINEAGE_TABLE)
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.catalog.path(LINEAGE_TABLE)
+        os.makedirs(path, exist_ok=True)
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        table = pa.table(
+            {
+                "run_id": pa.array([r[0] for r in rows], pa.string()),
+                "stage": pa.array([r[1] for r in rows], pa.string()),
+                "sink": pa.array([r[2] for r in rows], pa.string()),
+                "rows_in": pa.array([r[3] for r in rows], pa.int64()),
+                "rows_out": pa.array([r[4] for r in rows], pa.int64()),
+                "committed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+            }
+        )
+        pq.write_table(
+            table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
+            compression="zstd",
+        )
+
     def commit(
         self,
         run_id: str,
@@ -52,15 +98,7 @@ class LineageLog:
         rows_in: int | None = None,
         sink: str | None = None,
     ) -> None:
-        spark = self.catalog.spark
-        df = spark.createDataFrame(
-            [(run_id, stage, sink, rows_in, rows_out)], _SCHEMA
-        ).withColumn("committed_at", F.current_timestamp())
-        self.catalog.append(df, LINEAGE_TABLE)
+        self._append_rows([(run_id, stage, sink, rows_in, rows_out)])
 
     def commit_many(self, run_id: str, stage: str, per_sink_counts: list[tuple[str, int]]) -> None:
-        spark = self.catalog.spark
-        df = spark.createDataFrame(
-            [(run_id, stage, s, None, n) for s, n in per_sink_counts], _SCHEMA
-        ).withColumn("committed_at", F.current_timestamp())
-        self.catalog.append(df, LINEAGE_TABLE)
+        self._append_rows([(run_id, stage, s, None, n) for s, n in per_sink_counts])

@@ -51,8 +51,9 @@ NEARDUP_EXTRA_TEXTS = [
     "connection 77 from host server-9 retry 1 timeout 86ms again",
     # infix edit of the email family
     "contact user17@example.com about urgent ticket 400",
-    # suffix edit of the phone/uuid family
-    "callback +1-555-0142 trace 00000000-0000-4000-8000-000000000000 urgent",
+    # token-substitution edit of the phone/uuid family ('trace' → 'track';
+    # same token count — the shape the Drain-parity-tuned 4×3 banding merges)
+    "callback +1-555-0142 track 00000000-0000-4000-8000-000000000000",
 ]
 
 
