@@ -511,6 +511,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, k=3, bits=4, n_bands=2)
 
 
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket candidates → exact
+    cosine ≥ threshold. Threshold 0.4 is corpus-calibrated (the synthetic
+    embeddings are near-orthogonal random vectors — max pair cosine ≈0.48;
+    a real near-dup corpus uses ≥0.9 with identical plumbing)."""
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4, bits=4, n_bands=2
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (md5-seeded init,
     fixed Lloyd rounds) → probe nearest buckets → exact rerank."""
@@ -1130,6 +1144,35 @@ def _ivf_duck(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3) -> 
     return f"WITH {joined}\nSELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= {topk}"
 
 
+_EMB_NEARDUP_DUCK = f"""
+WITH {_HYPERPLANES_DUCK},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT e2.vec_id,
+         CAST(SUM(CAST(CAST(e2.embedding[CAST(idx.i AS INT)] AS DOUBLE)
+                       * CAST(e2.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nrm2
+  FROM embeddings e2 CROSS JOIN idx GROUP BY e2.vec_id),
+pdots AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CAST(CAST(ea.embedding[CAST(idx.i AS INT)] AS DOUBLE)
+                       * CAST(eb.embedding[CAST(idx.i AS INT)] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  CROSS JOIN idx
+  GROUP BY c.id_a, c.id_b)
+SELECT d.id_a, d.id_b,
+       ROUND(d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)), 6) AS cosine
+FROM pdots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+WHERE ROUND(d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)), 6) >= 0.4
+"""
+
+
 _MULTIMODAL_DUCK = """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
@@ -1298,6 +1341,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "emb_cosine_neardup": q_emb_cosine_neardup,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1344,6 +1388,7 @@ def _oracles() -> dict[str, str]:
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
         "ann_lsh_topk": _ANN_LSH_DUCK,
         "ann_ivf_topk": _ivf_duck(),
+        "emb_cosine_neardup": _EMB_NEARDUP_DUCK,
         "multimodal_decode": _MULTIMODAL_DUCK,
         "lib_pipeline_e2e": _lib_pipeline_duck(),
         "lib_template_clusters": _lib_clusters_duck(),

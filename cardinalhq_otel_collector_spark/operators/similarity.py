@@ -152,6 +152,56 @@ def hyperplane_buckets(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    n_bands: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member over
+    vectors): hyperplane-LSH candidate generation → exact cosine rerank →
+    ``cosine >= threshold``. Output: (id_a, id_b, cosine), id_a < id_b,
+    distinct.
+
+    Scale shape: candidates come from a (band, bucket) self equi-join —
+    O(rows·bands) bucket rows, never an all-pairs cross join; the exact
+    rerank touches only candidate pairs. Recall follows the LSH
+    OR-construction: P(candidate) = 1-(1-(1-θ/π)^bits)^n_bands for angle
+    θ — at high thresholds (near-dups) candidates are near-certain.
+    """
+    b = hyperplane_buckets(corpus, bits, n_bands, vec_col, id_col, dim)
+    cand = (
+        b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        .join(b.select(F.col(id_col).alias("id_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = _pos_explode(corpus.select(id_col, vec_col), vec_col, dim, "v").select(
+        id_col, "i", "v"
+    )
+    dots = (
+        cand.join(e.select(F.col(id_col).alias("id_a"), "i", F.col("v").alias("va")), "id_a")
+        .join(
+            e.select(F.col(id_col).alias("id_b"), F.col("i"), F.col("v").alias("vb")),
+            ["id_b", "i"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,18)")).cast("double").alias("dot"))
+    )
+    n = norms(corpus, vec_col, id_col, dim)
+    return (
+        dots.join(n.select(F.col(id_col).alias("id_a"), F.col("nrm2").alias("na")), "id_a")
+        .join(n.select(F.col(id_col).alias("id_b"), F.col("nrm2").alias("nb")), "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _sq_dists(e: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     """Decimal-summed squared L2 distance of every (vector, centroid) pair.
     ``e`` is position-exploded (id, i, v); ``cent`` is (cid, i, c) and is

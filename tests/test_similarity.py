@@ -96,3 +96,45 @@ def test_ivf_topk_exact_on_separated_clusters(spark):
         q.repartition(3), emb.repartition(7), k=3, n_centroids=4, n_probe=1, dim=dim
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    """A planted near-duplicate (tiny perturbation of another vector) must
+    surface as a pair at threshold 0.9; orthogonal vectors must not."""
+    import math
+
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    dim = 8
+    base = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]
+    near = [x * 1.01 + (0.001 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [(-1.0) ** i * 1.0 for i in range(dim)]  # alternating, far from base
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)], "vec_id long, embedding array<double>"
+    )
+    rows = embedding_neardup_pairs(df, threshold=0.9, bits=2, n_bands=2, dim=dim).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    cos = [r["cosine"] for r in rows if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert cos > 0.999
+
+
+def test_embedding_neardup_pairs_canonical_order(spark):
+    """Pairs are distinct and canonical (id_a < id_b) even when candidates
+    collide in multiple bands."""
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 + 1)] * 8) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_neardup_pairs(df, threshold=0.99, bits=2, n_bands=2, dim=8).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert len({(r["id_a"], r["id_b"]) for r in rows}) == len(rows)
+    # all-parallel vectors: every pair is cosine 1 — all 15 pairs survive
+    assert len(rows) == 15
