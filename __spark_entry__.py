@@ -1243,6 +1243,39 @@ FROM agg GROUP BY sink
 """
 
 
+def _lib_streaming_duck() -> str:
+    """Per-sink routed counts of the streaming pipeline — identical route
+    semantics to the batch oracle (the streaming machinery is checkpoint/
+    trigger plumbing; the routed OUTPUT is plain SQL over the fixture)."""
+    from cardinalhq_otel_collector_spark.datagen import routing_rules
+    from cardinalhq_otel_collector_spark.operators.route import routing_case_sql
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
+
+    case_sql = routing_case_sql(routing_rules())
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_FIXTURE}')),
+p AS (
+  SELECT *, regexp_extract(text, '(?:^|\\s)level=("[^"]*"|\\S+)', 1) AS _v FROM t
+),
+parsed AS (
+  SELECT *,
+         nullif(CASE WHEN _v LIKE '"%"' AND length(_v) >= 2
+                     THEN substr(_v, 2, length(_v) - 2) ELSE _v END, '') AS parsed_level,
+         {_pii_mask_sql('text')} AS _masked
+  FROM p
+),
+enriched AS (
+  SELECT *,
+         CASE tool WHEN 'search' THEN 'search' WHEN 'browser' THEN 'web'
+              WHEN 'python' THEN 'compute' WHEN 'calculator' THEN 'compute'
+              ELSE 'unknown' END AS tool_category,
+         (_masked <> text) AS has_pii
+  FROM parsed
+)
+SELECT {case_sql} AS sink, COUNT(*) AS turns FROM enriched GROUP BY 1
+"""
+
+
 def _lib_clusters_duck(n_rounds: int = 8) -> str:
     """Independent DuckDB implementation of the two-pass clustering:
     mask → collapse placeholders → char trigrams → 12 md5 minhashes →
@@ -1392,14 +1425,15 @@ def _oracles() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_DUCK,
         "lib_pipeline_e2e": _lib_pipeline_duck(),
         "lib_template_clusters": _lib_clusters_duck(),
+        "lib_streaming_pipeline": _lib_streaming_duck(),
     }
 
 
 # ---------------------------------------------------------------------------
-# Library-backed queries. lib_pipeline_e2e and lib_template_clusters are
-# fully oracle-backed (committed parquet fixtures + the _lib_*_duck SQL
-# above); only lib_streaming_pipeline stays rows-only — streaming with
-# checkpoints is genuinely not a single SQL statement.
+# Library-backed queries — ALL fully oracle-backed now: the committed
+# parquet fixtures let DuckDB reproduce the per-sink counts (batch AND
+# streaming — the checkpoint/trigger machinery is not SQL, but its routed
+# output is) and the cluster components (unrolled label propagation).
 # ---------------------------------------------------------------------------
 
 
@@ -1450,18 +1484,31 @@ def _lib_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lib_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming pipeline over the COMMITTED transcript fixture
+    (copied into a fresh source dir so the file-source checkpoint starts
+    clean). The checkpoint/trigger machinery is not SQL, but its OUTPUT
+    is: per-sink routed counts must equal the batch route — the oracle is
+    the same route-CASE + COUNT the batch pipeline oracle uses."""
+    import shutil
     import tempfile
 
-    from cardinalhq_otel_collector_spark.datagen import transcripts
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
     from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
         run_streaming_pipeline,
     )
 
+    import os
+
     base = tempfile.mkdtemp(prefix="entry_stream_")
     src, out = f"{base}/src", f"{base}/out"
-    transcripts(spark, n_convs=100).repartition(4).write.parquet(src)
+    os.makedirs(src)
+    shutil.copy(TRANSCRIPTS_FIXTURE, os.path.join(src, "transcripts.parquet"))
     run_streaming_pipeline(spark, src, out, watermark="1 minute")
-    return spark.read.parquet(f"{out}/routed_stream").groupBy("sink").count()
+    return (
+        spark.read.parquet(f"{out}/routed_stream")
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )
 
 
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
