@@ -203,6 +203,23 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
     """
     samples: dict[int, list[dict]] = {low: [], high: []}
     shared_src = _mkdtemp("bench_scaling_src_")
+    # Pre-generate the shared input at FULL host parallelism (untimed
+    # control-plane work): letting the first local[1] subprocess generate
+    # a 10^7-turn table single-threaded wastes a half hour of wall clock
+    # before the first timed sample.
+    sf = _sf_from_dir(sf_dir)
+    n_convs = max(100, int(TURNS_PER_SF * sf / AVG_TURNS_PER_CONV))
+    gen_cores = os.cpu_count() or 8
+    spark = _build(gen_cores)
+    try:
+        from cardinalhq_otel_collector_spark.datagen import transcripts
+
+        transcripts(
+            spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
+            partitions=4 * max(low, high),
+        ).write.mode("overwrite").parquet(os.path.join(shared_src, "transcripts"))
+    finally:
+        spark.stop()
     for _ in range(rounds):
         for cores in (low, high):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),

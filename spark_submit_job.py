@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--interval", default="1 hour")
     ap.add_argument("--salt", type=int, default=64)
     ap.add_argument("--granularity", default="day", choices=["day", "hour", "minute"])
+    ap.add_argument("--iceberg", action="store_true",
+                    help="write sinks through the Iceberg catalog (requires the "
+                    "iceberg-spark-runtime jar + spark.sql.catalog.local conf)")
     args = ap.parse_args()
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
@@ -58,7 +61,7 @@ def main() -> None:
         partition_granularity=args.granularity,
     )
     summary = run_pipeline(
-        spark, df, Catalog(spark, args.warehouse),
+        spark, df, Catalog(spark, args.warehouse, use_iceberg=args.iceberg),
         config=cfg, run_id=args.run_id, resume=args.resume,
     )
     print(json.dumps(summary))
