@@ -214,9 +214,14 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
     try:
         from cardinalhq_otel_collector_spark.datagen import transcripts
 
+        # partitions = 4*low, NOT 4*high: fewer/bigger files → bigger parquet
+        # row groups → measurably better scan throughput (measured at 20.1M
+        # turns, local[4]: 16-file input 156.2 s vs 4-file 129.2 s, +21%).
+        # Identical input for both levels either way; this matches the layout
+        # the round-2 numbers were taken on.
         transcripts(
             spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
-            partitions=4 * max(low, high),
+            partitions=4 * low,
         ).write.mode("overwrite").parquet(os.path.join(shared_src, "transcripts"))
     finally:
         spark.stop()
