@@ -31,6 +31,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "embedding_neardup_pairs",
 ]
 
 

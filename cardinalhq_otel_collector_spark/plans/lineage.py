@@ -74,7 +74,7 @@ class LineageLog:
 
         path = self.catalog.path(LINEAGE_TABLE)
         os.makedirs(path, exist_ok=True)
-        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        now = datetime.datetime.now(datetime.timezone.utc)
         table = pa.table(
             {
                 "run_id": pa.array([r[0] for r in rows], pa.string()),
@@ -82,13 +82,23 @@ class LineageLog:
                 "sink": pa.array([r[2] for r in rows], pa.string()),
                 "rows_in": pa.array([r[3] for r in rows], pa.int64()),
                 "rows_out": pa.array([r[4] for r in rows], pa.int64()),
-                "committed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+                # tz=UTC so the column round-trips as TIMESTAMP (LTZ) —
+                # matching both the empty-table fallback schema in read()
+                # and pre-existing Spark-written _lineage files; a naive
+                # pa.timestamp would read back as TIMESTAMP_NTZ and mix
+                # logical types within one directory.
+                "committed_at": pa.array([now] * len(rows), pa.timestamp("us", tz="UTC")),
             }
         )
-        pq.write_table(
-            table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
-            compression="zstd",
-        )
+        # temp-file + rename for atomic VISIBILITY: a crash mid-write must
+        # not leave a truncated parquet part that breaks the next run's
+        # resume read — resume-after-crash is this table's whole purpose.
+        # Spark's parquet reader ignores dot-prefixed files, and a POSIX
+        # rename within one directory is atomic.
+        final = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        tmp = os.path.join(path, "." + os.path.basename(final) + ".tmp")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, final)
 
     def commit(
         self,

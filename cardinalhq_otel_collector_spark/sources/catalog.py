@@ -136,11 +136,28 @@ class Catalog:
         if self.use_iceberg:
             wv2 = df.writeTo(self._ident(table)).using("iceberg")
             if codec is not None:
+                # tableProperty only takes effect at create/replace; the
+                # per-write option is what carries the codec on appends to a
+                # pre-existing table (per-write compression contract,
+                # writer.go:157-191 — Iceberg write option 'compression-codec')
                 wv2 = wv2.tableProperty("write.parquet.compression-codec", codec)
+                wv2 = wv2.option("compression-codec", codec)
             if partition_by:
                 wv2 = wv2.partitionedBy(*[F.col(c) for c in partition_by])
-            if mode == "append" and self.exists(table):
-                wv2.append()  # snapshot commit — atomic, idempotent on retry
+            if mode == "append":
+                # atomic create-or-append, no exists()-then-act window:
+                # create() commits df as the initial snapshot atomically in
+                # the catalog; a concurrent/prior create surfaces as
+                # TableAlreadyExists and we append (itself a snapshot commit,
+                # idempotent on task retry).
+                from pyspark.errors import AnalysisException
+
+                try:
+                    wv2.create()
+                except AnalysisException as e:
+                    if "ALREADY_EXISTS" not in str(e).upper():
+                        raise
+                    wv2.append()
             else:
                 wv2.createOrReplace()
             return

@@ -191,3 +191,28 @@ def test_sumo_date_fractional_seconds(spark):
     assert dates[0] == '{"date": "2026-01-01 00:00:05.25 +0000 UTC'
     assert dates[1] == '{"date": "2026-01-01 00:00:05 +0000 UTC'
     assert dates[2] == '{"date": "2026-01-01 00:00:05.123456 +0000 UTC'
+
+
+def test_attr_value_to_string_extreme_doubles(spark):
+    """ANSI-mode safety: Infinity / NaN / doubles outside long range must
+    not abort the job (Spark 4 default ANSI cast('long') throws
+    CAST_OVERFLOW; the integrality probe uses try_cast). Rendering falls
+    back to Spark's string form for these — the documented E-notation
+    limitation — but the job completes."""
+    df = spark.createDataFrame(
+        [(float("inf"), float("-inf"), float("nan"), 1e19, 9.2e18)],
+        "pinf double, ninf double, nan double, big double, edge double",
+    )
+    row = df.select(
+        *[
+            attr_value_to_string(F.col(c), "double").alias(c)
+            for c in ("pinf", "ninf", "nan", "big", "edge")
+        ]
+    ).collect()[0]
+    assert row["pinf"] == "Infinity"
+    assert row["ninf"] == "-Infinity"
+    assert row["nan"] == "NaN"
+    # outside long range: integral probe is NULL -> string fallback branch
+    assert row["big"] in ("1.0E19", "10000000000000000000")
+    # 9.2e18 < 2^63-1: in range, integral -> fixed digits
+    assert row["edge"] == "9200000000000000000"
