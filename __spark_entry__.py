@@ -701,12 +701,51 @@ GROUP BY r.r_name, n.n_name
 """
 
 
-def _template_mining_duck() -> str:
-    """Mirror the library's _MASKS chain (same regexes, same order)."""
-    from cardinalhq_otel_collector_spark.operators.fingerprint import _MASKS
+# ---------------------------------------------------------------------------
+# Frozen oracle literals.
+#
+# These mirror the library's mask/PII/routing constants but are INLINED as
+# literals so the DuckDB oracles import no code from the engine under test
+# (a semantic bug inside a shared constant would otherwise pass both
+# sides). tests/test_oracle_drift.py asserts literal == library constant,
+# so the library cannot change without a deliberate two-sided edit — the
+# same freeze-plus-drift-test pattern tests/test_fixtures.py uses for
+# fixture bytes.
+# ---------------------------------------------------------------------------
+_MASKS_ORACLE: list[tuple[str, str]] = [
+    (
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<id>",
+    ),
+    ("\\b[0-9a-fA-F]{8,}\\b", "<hex>"),
+    ("\\d+", "<num>"),
+]
 
+_PII_PATTERNS_ORACLE: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "uuid",
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<UUID>",
+    ),
+    ("phone", "\\+?1[-. ]\\(?\\d{3}\\)?[-. ]\\d{3,4}(?:[-. ]\\d{4})?", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+]
+
+# First-match-wins CASE over the routing rule table (rule_id order), frozen
+# as the SQL text itself rather than generated by operators.route.
+_ROUTING_CASE_ORACLE = (
+    "CASE WHEN (parsed_level = 'ERROR') THEN 'errors'"
+    " WHEN (role = 'tool' AND tool_category = 'search') THEN 'search_tools'"
+    " WHEN (has_pii) THEN 'pii_archive' ELSE 'default' END"
+)
+
+
+def _template_mining_duck() -> str:
+    """Mirror the library's mask chain (same regexes, same order — frozen
+    literals above, drift-tested against operators.fingerprint._MASKS)."""
     expr = "line"
-    for pat, mask in _MASKS:
+    for pat, mask in _MASKS_ORACLE:
         # DuckDB standard string literals don't process backslashes — the
         # regex goes in verbatim, only quotes need escaping
         pat_sql = pat.replace("'", "''")
@@ -759,18 +798,39 @@ SELECT event_id, props AS body, ts AS ts2, event_type FROM events
 """
 
 
-def _genai_duck() -> str:
-    from cardinalhq_otel_collector_spark.operators.genai import (
-        _ROLE_SYNONYMS,
-        _SYSTEM_PREFIXES,
-    )
+# Frozen oracle literals for genai_normalize / doc_lang_id (public OTel
+# GenAI semconv values + the library's marker words) — same de-sharing
+# rationale as _MASKS_ORACLE above; drift-tested in tests/test_oracle_drift.py.
+_ROLE_SYNONYMS_ORACLE: dict[str, str] = {
+    "user": "user", "human": "user", "end_user": "user",
+    "assistant": "assistant", "ai": "assistant", "bot": "assistant",
+    "model": "assistant", "agent": "assistant",
+    "system": "system", "developer": "system", "instruction": "system",
+    "tool": "tool", "function": "tool", "tool_call": "tool",
+    "tool_result": "tool",
+}
 
+_SYSTEM_PREFIXES_ORACLE: list[tuple[str, str]] = [
+    ("gpt", "openai"), ("o1", "openai"), ("o3", "openai"),
+    ("claude", "anthropic"), ("gemini", "gcp.gemini"), ("palm", "gcp.gemini"),
+    ("llama", "meta"), ("mistral", "mistral_ai"), ("mixtral", "mistral_ai"),
+]
+
+_LANG_MARKERS_ORACLE: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _genai_duck() -> str:
     role_whens = " ".join(
         f"WHEN lower(trim(role_raw)) = '{syn}' THEN '{canon}'"
-        for syn, canon in _ROLE_SYNONYMS.items()
+        for syn, canon in _ROLE_SYNONYMS_ORACLE.items()
     )
     sys_whens = " ".join(
-        f"WHEN starts_with(m, '{p}') THEN '{s}'" for p, s in _SYSTEM_PREFIXES
+        f"WHEN starts_with(m, '{p}') THEN '{s}'" for p, s in _SYSTEM_PREFIXES_ORACLE
     )
     return f"""
 WITH turns AS (
@@ -889,17 +949,15 @@ FROM p
 
 
 def _lang_duck() -> str:
-    from cardinalhq_otel_collector_spark.operators.textstats import _LANG_MARKERS
-
     hit_cols = ", ".join(
         "("
         + " + ".join(
             rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in words
         )
         + f") AS hits_{lang}"
-        for lang, words in _LANG_MARKERS.items()
+        for lang, words in _LANG_MARKERS_ORACLE.items()
     )
-    langs = list(_LANG_MARKERS)
+    langs = list(_LANG_MARKERS_ORACLE)
     m = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
     guess = " ".join(f"WHEN hits_{la} = {m} THEN '{la}'" for la in langs[:-1])
     return f"""
@@ -1198,21 +1256,17 @@ FROM documents WHERE doc_id < 500
 
 
 def _pii_mask_sql(expr: str) -> str:
-    from cardinalhq_otel_collector_spark.operators.redact import DEFAULT_PII_PATTERNS
-
-    for _name, pat, mask in DEFAULT_PII_PATTERNS:
+    for _name, pat, mask in _PII_PATTERNS_ORACLE:
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{mask}', 'g')"
     return expr
 
 
 def _lib_pipeline_duck() -> str:
-    from cardinalhq_otel_collector_spark.datagen import routing_rules
-    from cardinalhq_otel_collector_spark.operators.route import routing_case_sql
     from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
 
     # parse_keyvalue 'level' extraction: one regex, strip quotes, ''→NULL
-    case_sql = routing_case_sql(routing_rules())  # first-match-wins CASE
+    case_sql = _ROUTING_CASE_ORACLE  # first-match-wins CASE, frozen literal
     return f"""
 WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_FIXTURE}')),
 p AS (
@@ -1247,11 +1301,9 @@ def _lib_streaming_duck() -> str:
     """Per-sink routed counts of the streaming pipeline — identical route
     semantics to the batch oracle (the streaming machinery is checkpoint/
     trigger plumbing; the routed OUTPUT is plain SQL over the fixture)."""
-    from cardinalhq_otel_collector_spark.datagen import routing_rules
-    from cardinalhq_otel_collector_spark.operators.route import routing_case_sql
     from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
 
-    case_sql = routing_case_sql(routing_rules())
+    case_sql = _ROUTING_CASE_ORACLE
     return f"""
 WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_FIXTURE}')),
 p AS (
@@ -1285,11 +1337,10 @@ def _lib_clusters_duck(n_rounds: int = 8) -> str:
     so the output matches Spark's min-fingerprint labels exactly).
     n_rounds=8 bounds the component diameter in band-graph hops; fixture
     convergence is pinned by tests (n_rounds vs n_rounds-1 equality)."""
-    from cardinalhq_otel_collector_spark.operators.fingerprint import _MASKS
     from cardinalhq_otel_collector_spark.sources.fixtures import NEARDUP_FIXTURE
 
     mask_expr = "text"
-    for pat, mask in _MASKS:
+    for pat, mask in _MASKS_ORACLE:
         mask_expr = f"regexp_replace({mask_expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{mask}', 'g')"
     hashes = ", ".join(f"MIN(md5('{s}|' || g)) AS h{s}" for s in range(12))
     bands = " UNION ALL ".join(
@@ -1426,6 +1477,7 @@ def _oracles() -> dict[str, str]:
         "lib_pipeline_e2e": _lib_pipeline_duck(),
         "lib_template_clusters": _lib_clusters_duck(),
         "lib_streaming_pipeline": _lib_streaming_duck(),
+        "lib_stateful_intervals": _lib_stateful_duck(),
     }
 
 
@@ -1511,10 +1563,108 @@ def _lib_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lib_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 stateful streaming aggregate (applyInPandasWithState timers+TTL,
+    streaming/stateful_agg.py) over the COMMITTED transcript fixture, made
+    fully oracle-checkable.
+
+    The trick: after the real data file, two SENTINEL microbatches (one
+    future-ts row per conv_id at max_ts+3h and +6h, own files, ordered by
+    mtime with maxFilesPerTrigger=1) advance the event-time watermark past
+    every real bucket's end — so the stateful operator closes and emits ALL
+    real (conv_id, hour-bucket) rows deterministically, while the
+    sentinels' own buckets can never close (their end stays ahead of the
+    final watermark) and are never emitted. The emitted set is therefore
+    exactly the batch interval aggregate, which DuckDB reproduces with a
+    plain windowed GROUP BY — no reliance on no-data-batch behavior."""
+    import os
+    import shutil
+    import tempfile
+
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
+    from cardinalhq_otel_collector_spark.streaming.stateful_agg import (
+        stateful_interval_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_stateful_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    fixture = spark.read.parquet(TRANSCRIPTS_FIXTURE)
+    data_path = os.path.join(src, "00-data.parquet")
+    shutil.copy(TRANSCRIPTS_FIXTURE, data_path)
+
+    max_ts = fixture.agg(F.max("ts")).collect()[0][0]
+    keys_df = fixture.select("conv_id").distinct()
+    import time as _t
+
+    now = _t.time()
+    os.utime(data_path, (now - 100, now - 100))
+    for j, hours in enumerate((3, 6), start=1):
+        sent = keys_df.select(
+            F.col("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("sentinel").alias("text"),
+            F.lit("").alias("tool"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+        ).coalesce(1)
+        tmp = os.path.join(base, f"sent{j}")
+        sent.write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{j:02d}-sentinel.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + 40 * j, now - 100 + 40 * j))
+
+    stream = (
+        spark.readStream.schema(fixture.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP — the
+        # session is pinned UTC so the cast is deterministic
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = stateful_interval_counts(
+        stream, keys=["conv_id"], value_col="turn_idx",
+        interval_seconds=3600, watermark="1 second",
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "conv_id",
+        "bucket_start",
+        F.col("n").alias("turns"),
+        F.col("total").cast("double").alias("total_turnidx"),
+    )
+
+
+def _lib_stateful_duck() -> str:
+    """Oracle: the emitted set equals the batch hourly aggregate over the
+    fixture (see _lib_stateful — the sentinel construction guarantees every
+    real bucket emits exactly once and nothing else emits)."""
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
+
+    return f"""
+SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+       COUNT(*) AS turns, CAST(SUM(turn_idx) AS DOUBLE) AS total_turnidx
+FROM read_parquet('{TRANSCRIPTS_FIXTURE}')
+GROUP BY 1, 2
+"""
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_template_clusters": _lib_template_clusters,
     "lib_streaming_pipeline": _lib_streaming,
+    "lib_stateful_intervals": _lib_stateful,
 }
 
 

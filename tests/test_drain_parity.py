@@ -99,6 +99,11 @@ def test_assignment_parity_with_reference_drain(spark):
     groupings (the six generative families reconstruct on both sides)."""
     f1 = _assignment_parity(spark)
     assert f1 >= 0.95, f"drain parity regressed: pairwise F1 {f1:.4f}"
+    # Re-tuning procedure (this pin is MEANT to block band/mask changes):
+    # when deliberately retuning band geometry / shingles / masks, re-run
+    # this test to re-derive the new F1, inspect WHY it moved (which
+    # families split/merged), and only then update the pinned value in the
+    # same commit as the tuning change. Never delete the pin.
     assert round(f1, 4) == 1.0, f"pinned parity changed: {f1:.4f}"
 
 
@@ -159,4 +164,8 @@ def test_assignment_parity_adversarial_corpus(spark):
     print(f"adversarial drain parity pairwise F1 = {f1:.4f}")
     # tuned: 4 bands x 3 hashes reaches exact agreement here (the old
     # 4x2 geometry coin-flip merged the shared-prefix shorts: F1 0.8113)
+    # Re-tuning procedure: as in test_assignment_parity_with_reference_drain
+    # — re-derive the F1 under the new geometry, understand the family-level
+    # diff, then update this pin deliberately in the tuning commit. Never
+    # delete the pin to make a tuning change pass.
     assert round(f1, 4) == 1.0, f"pinned adversarial parity changed: {f1:.4f}"

@@ -1,0 +1,80 @@
+"""Drift guard for the frozen oracle literals in __spark_entry__.py.
+
+The DuckDB oracles deliberately inline the mask/PII/routing/genai/lang
+constants as literals instead of importing them from the library, so the
+oracle side shares no code with the engine under test. This test is the
+other half of that freeze: if a library constant changes, it fails — the
+constant must be updated on BOTH sides deliberately (same pattern as the
+fixture-bytes drift test in test_fixtures.py).
+
+No SparkSession needed; pure constant comparison.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry
+
+
+def test_mask_literals_match_library():
+    from cardinalhq_otel_collector_spark.operators.fingerprint import _MASKS
+
+    assert [tuple(m) for m in _MASKS] == [tuple(m) for m in entry._MASKS_ORACLE]
+
+
+def test_pii_literals_match_library():
+    from cardinalhq_otel_collector_spark.operators.redact import DEFAULT_PII_PATTERNS
+
+    assert [tuple(p) for p in DEFAULT_PII_PATTERNS] == [
+        tuple(p) for p in entry._PII_PATTERNS_ORACLE
+    ]
+
+
+def test_routing_case_literal_matches_generator():
+    from cardinalhq_otel_collector_spark.datagen import routing_rules
+    from cardinalhq_otel_collector_spark.operators.route import routing_case_sql
+
+    assert routing_case_sql(routing_rules()) == entry._ROUTING_CASE_ORACLE
+
+
+def test_genai_literals_match_library():
+    from cardinalhq_otel_collector_spark.operators.genai import (
+        _ROLE_SYNONYMS,
+        _SYSTEM_PREFIXES,
+    )
+
+    assert _ROLE_SYNONYMS == entry._ROLE_SYNONYMS_ORACLE
+    assert [tuple(p) for p in _SYSTEM_PREFIXES] == [
+        tuple(p) for p in entry._SYSTEM_PREFIXES_ORACLE
+    ]
+
+
+def test_lang_literals_match_library():
+    from cardinalhq_otel_collector_spark.operators.textstats import _LANG_MARKERS
+
+    assert {k: list(v) for k, v in _LANG_MARKERS.items()} == entry._LANG_MARKERS_ORACLE
+
+
+def test_oracle_builders_import_no_operator_code():
+    """The de-sharing contract itself: no oracle builder body imports from
+    operators/ or datagen — only fixtures path constants are allowed."""
+    import ast
+    import inspect
+
+    builders = [
+        obj
+        for name, obj in vars(entry).items()
+        if callable(obj) and (name.endswith("_duck") or name == "_pii_mask_sql")
+    ]
+    assert builders, "no oracle builders found — did the naming change?"
+    for fn in builders:
+        tree = ast.parse(inspect.getsource(fn))
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                mod = getattr(node, "module", "") or ""
+                assert "operators" not in mod and "datagen" not in mod, (
+                    f"{fn.__name__} imports {mod} — oracle builders must use "
+                    "the frozen literals instead"
+                )
