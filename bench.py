@@ -109,7 +109,12 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
     src = os.environ.get("SPARK_GRAFT_BENCH_SRC") or _mkdtemp("bench_src_")
     own_src = "SPARK_GRAFT_BENCH_SRC" not in os.environ
     try:
-        cfg = PipelineConfig(rules=routing_rules(), salt_partitions=2 * cores)
+        # hour partition granularity (reference default is even finer —
+        # minute, partition.go): aligns the fan-out partitioning with the
+        # 1-hour agg interval so the aggregates stage reads partition
+        # VALUES instead of decoding ts (pipeline.py S7 fast path)
+        cfg = PipelineConfig(rules=routing_rules(), salt_partitions=2 * cores,
+                             partition_granularity="hour")
         # untimed warm-up: JIT/codegen compile on a tiny run so the timed
         # run measures steady-state throughput, not JVM warm-up
         warm = transcripts(spark, n_convs=500, partitions=cores)
@@ -132,12 +137,19 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
         # 2-3x off. Best-of-N is the standard counter.
         best = None
         attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+        # SPARK_GRAFT_SUBSTAGE=1: diagnostic mode — time the decorate chain
+        # into a noop sink separately from the parquet write+commit, so a
+        # scaling sweep can attribute non-scaling seconds to compute vs
+        # write. Doubles the routed stage's work; pipeline_sec from an
+        # instrumented run is NOT a headline number.
+        substage = os.environ.get("SPARK_GRAFT_SUBSTAGE", "0") == "1"
         for attempt in range(attempts):
             wh = _mkdtemp("bench_wh_run_")
             catalog = Catalog(spark, wh)
             tot0, st0 = _cpu_ticks()
             t0 = time.perf_counter()
-            summary = run_pipeline(spark, df, catalog, config=cfg, run_id=f"bench{attempt}")
+            summary = run_pipeline(spark, df, catalog, config=cfg, run_id=f"bench{attempt}",
+                                   instrument_substages=substage)
             elapsed = time.perf_counter() - t0
             tot1, st1 = _cpu_ticks()
             steal = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)

@@ -117,6 +117,7 @@ def run_pipeline(
     fail_after_stage: str | None = None,
     tools: DataFrame | None = None,
     roles: DataFrame | None = None,
+    instrument_substages: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a summary dict.
 
@@ -180,7 +181,20 @@ def run_pipeline(
         routed = routed.observe(
             obs, *[F.count(F.when(F.col("sink") == s, 1)).alias(s) for s in sinks]
         )
+        if instrument_substages:
+            # Diagnostic (bench --scaling only, never the default path): run
+            # the identical decorate chain into a noop sink FIRST to time the
+            # scan+parse+route compute alone, so the stage account separates
+            # "CPU that should scale with cores" from "parquet encode + file
+            # commit". Doubles the stage's work — that is the price of the
+            # measurement, and the timed headline run keeps this off.
+            _tc = _time.perf_counter()
+            decorated.write.format("noop").mode("overwrite").save()
+            summary["timings"]["routed_compute"] = round(_time.perf_counter() - _tc, 3)
+        _tw = _time.perf_counter()
         catalog.write(routed, ROUTED_TABLE, partition_by=part_cols)
+        if instrument_substages:
+            summary["timings"]["routed_write_commit"] = round(_time.perf_counter() - _tw, 3)
         per_sink = [(s, n) for s, n in obs.get.items() if n > 0]
         lineage.commit_many(run_id, STAGE_ROUTED, per_sink)
         summary["stages_run"].append(STAGE_ROUTED)
@@ -236,11 +250,47 @@ def run_pipeline(
         summary["stages_skipped"].append(STAGE_AGG)
     else:
         _t0 = _time.perf_counter()
-        # pruned read: only the 4 grouping columns leave the parquet scan
-        facts = catalog.read(ROUTED_TABLE).select("sink", "conv_id", "tool", "ts")
-        aggs = interval_aggregate(
-            facts, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
-        )
+        facts_all = catalog.read(ROUTED_TABLE)
+        if config.agg_interval_seconds == 3600 and config.partition_granularity in (
+            "hour",
+            "minute",
+        ):
+            # Partition-bucket fast path: when the agg interval equals the
+            # write's hour partition granularity, the bucket is already
+            # materialized as partition VALUES (p_date/p_hour, zero IO) —
+            # the parquet scan reads only the conv_id+tool bytes, no
+            # timestamp decode, no window(). Same buckets by construction:
+            # p_date/p_hour are date_format(ts) in the session tz and
+            # window(ts, '1 hour') floors to the same epoch-aligned hour.
+            # Measured sub-stage account (BENCH.md round-4): the scan-side
+            # stages are memory-bandwidth-bound, so shedding the widest
+            # column is both a throughput and a scaling win.
+            ts_type = facts_all.schema["ts"].dataType
+            aggs = (
+                facts_all.select("sink", "conv_id", "tool", "p_date", "p_hour")
+                .groupBy("sink", "conv_id", "tool", "p_date", "p_hour")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn(
+                    "bucket_start",
+                    # partition-column type inference reads p_hour=09 back
+                    # as INT 9 and may read p_date as DATE — normalize both
+                    F.to_timestamp(
+                        F.concat_ws(
+                            " ",
+                            F.col("p_date").cast("string"),
+                            F.lpad(F.col("p_hour").cast("string"), 2, "0"),
+                        ),
+                        "yyyy-MM-dd HH",
+                    ).cast(ts_type),
+                )
+                .select("sink", "conv_id", "tool", "n", "bucket_start")
+            )
+        else:
+            # generic path: pruned read of the 4 grouping columns
+            facts = facts_all.select("sink", "conv_id", "tool", "ts")
+            aggs = interval_aggregate(
+                facts, keys=["sink", "conv_id", "tool"], interval=config.agg_interval
+            )
         from pyspark.sql import Observation
 
         sinks = [r["sink"] for r in config.rules] + [config.default_sink]

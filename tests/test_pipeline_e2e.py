@@ -167,3 +167,62 @@ def test_rerun_same_run_id_is_noop(spark, transcripts_df, warehouse):
     assert summary["stages_run"] == []
     after = sorted(map(tuple, warehouse.read(ROUTED_TABLE).collect()))
     assert before == after
+
+
+def test_hour_partition_agg_fast_path_matches_window_agg(spark, tmp_path):
+    """S7 fast path: with hour partition granularity and a 1-hour agg
+    interval, the aggregate is computed from partition VALUES (p_date,
+    p_hour) without decoding ts. Must equal window(ts, '1 hour') exactly —
+    including across a midnight boundary (p_date changes under the same
+    run) and for the bucket containing the last event."""
+    from datetime import datetime, timedelta
+
+    from cardinalhq_otel_collector_spark.operators.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    base = datetime(2026, 3, 1, 22, 15, 0)
+    rows = []
+    for conv in range(6):
+        for i in range(40):
+            ts = base + timedelta(minutes=7 * i + conv)  # crosses midnight
+            rows.append(
+                (
+                    f"conv-{conv}",
+                    i,
+                    "tool" if i % 3 == 0 else "user",
+                    f"level=INFO code=200 latency_ms={i} service=s msg=\"m\"",
+                    "search" if i % 3 == 0 else "",
+                    ts,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = PipelineConfig(
+        rules=routing_rules(), partition_granularity="hour", agg_interval="1 hour"
+    ).validate()
+    catalog = Catalog(spark, str(tmp_path / "wh_fast"))
+    run_pipeline(spark, df, catalog, config=cfg, run_id="fastpath")
+
+    got = sorted(
+        map(
+            tuple,
+            catalog.read(AGG_TABLE)
+            .select("sink", "conv_id", "tool", "n", "bucket_start")
+            .collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            interval_aggregate(
+                catalog.read(ROUTED_TABLE).select("sink", "conv_id", "tool", "ts"),
+                keys=["sink", "conv_id", "tool"],
+                interval="1 hour",
+            )
+            .select("sink", "conv_id", "tool", "n", "bucket_start")
+            .collect(),
+        )
+    )
+    assert got == expected
+    assert len({r[4].date() for r in got}) == 2  # midnight boundary exercised
