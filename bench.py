@@ -109,12 +109,18 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
     src = os.environ.get("SPARK_GRAFT_BENCH_SRC") or _mkdtemp("bench_src_")
     own_src = "SPARK_GRAFT_BENCH_SRC" not in os.environ
     try:
-        # hour partition granularity (reference default is even finer —
-        # minute, partition.go): aligns the fan-out partitioning with the
-        # 1-hour agg interval so the aggregates stage reads partition
-        # VALUES instead of decoding ts (pipeline.py S7 fast path)
-        cfg = PipelineConfig(rules=routing_rules(), salt_partitions=2 * cores,
-                             partition_granularity="hour")
+        # Partition granularity is env-switchable for A/B runs. Measured
+        # head-to-head at sf0.1/local[32], same noise window (BENCH.md
+        # round-4 summary): "hour" aligns the layout with the 1-hour agg
+        # interval (S7 partition-value fast path, no ts decode) but the
+        # ~8x leaf-dir multiplication fragments every file the pipeline
+        # writes and reads — 82.4s vs 49.4s end-to-end. Default stays
+        # "day"; the fast path remains for deployments whose layout is
+        # already hourly/minutely (the reference's default is minute).
+        cfg = PipelineConfig(
+            rules=routing_rules(), salt_partitions=2 * cores,
+            partition_granularity=os.environ.get("SPARK_GRAFT_BENCH_GRANULARITY", "day"),
+        )
         # untimed warm-up: JIT/codegen compile on a tiny run so the timed
         # run measures steady-state throughput, not JVM warm-up
         warm = transcripts(spark, n_convs=500, partitions=cores)

@@ -226,3 +226,24 @@ def test_hour_partition_agg_fast_path_matches_window_agg(spark, tmp_path):
     )
     assert got == expected
     assert len({r[4].date() for r in got}) == 2  # midnight boundary exercised
+
+
+def test_lineage_commit_survives_crashed_partial_write(spark, warehouse):
+    """Resume-after-crash contract of the _lineage table: commits are
+    written to a dot-prefixed temp file and renamed, so a crash mid-write
+    leaves only an invisible temp — never a truncated parquet part that
+    breaks the next run's committed_stages() read."""
+    import os
+
+    lineage = LineageLog(warehouse)
+    lineage.commit("crash-run", "routed_write", rows_out=10)
+    path = warehouse.path("_lineage")
+    # simulate a crash mid-write: a truncated dot-prefixed temp left behind
+    with open(os.path.join(path, ".part-deadbeef.parquet.tmp"), "wb") as f:
+        f.write(b"PAR1\x00\x00garbage")  # not a valid parquet footer
+    # Spark's parquet reader must ignore the dot-file: read succeeds and
+    # the committed stage is still visible
+    assert lineage.committed_stages("crash-run") == {"routed_write"}
+    # committed_at round-trips as TIMESTAMP (LTZ), matching the fallback
+    # schema in read() — pre/post-change files can coexist in one dir
+    assert dict(lineage.read().dtypes)["committed_at"] == "timestamp"
