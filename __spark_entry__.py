@@ -329,6 +329,96 @@ def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _otlp_proto_duck() -> str:
+    """Independent DuckDB assembly of the protobuf wire bytes as lowercase
+    hex. Tags and field numbers come straight from the public OTLP proto
+    definitions (LogsData.resource_logs=1; ResourceLogs.resource=1,
+    .scope_logs=2; Resource.attributes=1; ScopeLogs.log_records=2;
+    LogRecord.time_unix_nano=1 fixed64, .body=5, .attributes=6;
+    AnyValue.string_value=1; KeyValue.key=1, .value=2). Lengths are
+    single-byte varints — every nested message in this query is < 128
+    bytes, and the final SELECT error()s loudly if data growth ever
+    breaks that assumption rather than producing wrong bytes. The
+    constant resource attribute (service=events) is a spelled-out hex
+    literal; the fixed64 timestamp is little-endian via bit shifts."""
+
+    def hx(n: int) -> str:
+        return format(n, "02x")
+
+    # KeyValue{key="service", value=AnyValue{string_value="events"}}
+    svc_kv = "0a07" + "73657276696365" + "1208" + "0a06" + "6576656e7473"
+    resource_payload = "0a" + hx(len(svc_kv) // 2) + svc_kv  # Resource.attributes=1
+    resource_field = "0a" + hx(len(resource_payload) // 2) + resource_payload
+    ts_le = " || ".join(
+        f"lpad(lower(hex((nanos >> {8 * i}) & 255)), 2, '0')" for i in range(8)
+    )
+
+    def ln(expr: str) -> str:  # hex length byte of a hex-string column
+        return f"lpad(lower(hex(length({expr}) // 2)), 2, '0')"
+
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         lower(hex(event_type)) AS body_hex,
+         octet_length(CAST(event_type AS BLOB)) AS body_len,
+         lower(hex('u' || CAST(user_id AS VARCHAR))) AS uv_hex,
+         octet_length(CAST('u' || CAST(user_id AS VARCHAR) AS BLOB)) AS uv_len,
+         epoch_us(ts) * 1000 AS nanos
+  FROM events
+),
+parts AS (
+  SELECT event_id, nanos,
+         '0a' || lpad(lower(hex(body_len)), 2, '0') || body_hex AS any_body,
+         '0a' || lpad(lower(hex(uv_len)), 2, '0') || uv_hex AS any_user
+  FROM e
+),
+rec AS (
+  -- LogRecord: time=1 fixed64 LE ('09'), body=5 ('2a'), attributes=6
+  -- ('32', KeyValue payload = 6 key-field bytes + 2 value-field header
+  -- bytes + the AnyValue bytes)
+  SELECT event_id,
+         '09' || {ts_le}
+              || '2a' || {ln('any_body')} || any_body
+              || '32' || lpad(lower(hex(8 + length(any_user) // 2)), 2, '0')
+                      || '0a04' || '75736572'
+                      || '12' || {ln('any_user')} || any_user
+         AS record
+  FROM parts
+),
+sl AS (SELECT event_id, '12' || {ln('record')} || record AS scope_logs FROM rec),
+rl AS (
+  SELECT event_id,
+         '{resource_field}' || '12' || {ln('scope_logs')} || scope_logs AS rlogs
+  FROM sl
+)
+SELECT event_id,
+       CASE WHEN length(rlogs) // 2 < 128
+            THEN '0a' || {ln('rlogs')} || rlogs
+            ELSE error('oracle varint assumption broken: message >= 128 bytes')
+       END AS proto_hex
+FROM rl
+"""
+
+
+def q_otlp_proto_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 otlp_proto byte shape (marshaler.go:42-71 proto branch,
+    s3_marshaler.go:22-32): byte-level protobuf wire format per event,
+    compared as lowercase hex against a DuckDB oracle that assembles the
+    IDENTICAL bytes from the wire-format spec (varints, tags, fixed64 LE
+    timestamp) with no shared code."""
+    from cardinalhq_otel_collector_spark.operators.marshal import otlp_proto_logs
+
+    ev = _read(spark, sf_dir, "events")
+    m = otlp_proto_logs(
+        ev,
+        body=F.col("event_type"),
+        ts=F.col("ts"),
+        resource_attrs={"service": F.lit("events")},
+        attrs={"user": F.concat(F.lit("u"), F.col("user_id").cast("string"))},
+    )
+    return m.select("event_id", F.lower(F.hex("otlp_proto")).alias("proto_hex"))
+
+
 def q_genai_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """genainormalizerprocessor analogue (components.go:126,:713): role
     synonyms → canonical, model string → (gen_ai.system, family)."""
@@ -1406,6 +1496,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partition_keys": q_partition_keys,
     "unroll_tokens": q_unroll_tokens,
     "otlp_roundtrip": q_otlp_roundtrip,
+    "otlp_proto_marshal": q_otlp_proto_marshal,
     "genai_normalize": q_genai_normalize,
     "latency_histogram": q_latency_histogram,
     "red_metrics": q_red_metrics,
@@ -1453,6 +1544,7 @@ def _oracles() -> dict[str, str]:
         "partition_keys": _PARTITION_KEY_DUCK,
         "unroll_tokens": _UNROLL_DUCK,
         "otlp_roundtrip": _OTLP_ROUNDTRIP_DUCK,
+        "otlp_proto_marshal": _otlp_proto_duck(),
         "genai_normalize": _genai_duck(),
         "latency_histogram": _HISTOGRAM_DUCK,
         "red_metrics": _RED_DUCK,

@@ -31,6 +31,8 @@ __all__ = [
     "sumo_ic_violations",
     "otlp_json_logs",
     "parse_otlp_json_logs",
+    "otlp_proto_logs",
+    "parse_otlp_proto_logs",
     "body_lines",
 ]
 
@@ -285,6 +287,184 @@ def parse_otlp_json_logs(df: DataFrame, json_col: str = "otlp_json") -> DataFram
         )
         .drop("rec")
     )
+
+
+# ---------------------------------------------------------------------------
+# otlp_proto — byte-level protobuf wire format (marshaler.go:42-71 selects
+# json OR proto; s3_marshaler.go:22-32). The message subset mirrors
+# otlp_json_logs: LogsData > ResourceLogs{Resource{attributes}} >
+# ScopeLogs > LogRecord{time_unix_nano(fixed64), body(AnyValue.string),
+# attributes(KeyValue{key, AnyValue.string})}. Field numbers/wire types
+# follow the public OTLP proto definitions (opentelemetry-proto
+# logs/v1/logs.proto, common/v1/common.proto):
+#   LogsData.resource_logs=1  ResourceLogs.resource=1 .scope_logs=2
+#   Resource.attributes=1     ScopeLogs.log_records=2
+#   LogRecord.time_unix_nano=1 (fixed64) .body=5 .attributes=6
+#   AnyValue.string_value=1   KeyValue.key=1 .value=2
+# Encoding runs inside an Arrow-batched pandas UDF: a wire-format encoder
+# is per-record byte assembly by nature — the same codec-boundary rule as
+# operators/multimodal.py, NOT hot-path row Python. Keys are closed over
+# at plan time (static schema), sorted for determinism like the json
+# marshaler's sorted structs.
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_ld(field_no: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _pb_varint((field_no << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_str_any(s: str) -> bytes:
+    """AnyValue{string_value=1}."""
+    return _pb_ld(1, s.encode("utf-8"))
+
+
+def _pb_kv(key: str, value: str) -> bytes:
+    """KeyValue{key=1, value=2:AnyValue.string}."""
+    return _pb_ld(1, key.encode("utf-8")) + _pb_ld(2, _pb_str_any(value))
+
+
+def _encode_logsdata(ts_nanos: int, body, res_items, attr_items) -> bytes:
+    rec = bytearray()
+    # time_unix_nano = 1, fixed64 (wire type 1), little-endian
+    rec += _pb_varint((1 << 3) | 1) + int(ts_nanos).to_bytes(8, "little")
+    if body is not None:
+        rec += _pb_ld(5, _pb_str_any(body))
+    for k, v in attr_items:
+        if v is not None:
+            rec += _pb_ld(6, _pb_kv(k, v))
+    scope_logs = _pb_ld(2, bytes(rec))  # ScopeLogs.log_records=2
+    resource = b"".join(
+        _pb_ld(1, _pb_kv(k, v)) for k, v in res_items if v is not None
+    )  # Resource.attributes=1
+    rl = _pb_ld(1, resource) + _pb_ld(2, scope_logs)  # resource=1, scope_logs=2
+    return _pb_ld(1, rl)  # LogsData.resource_logs=1
+
+
+def otlp_proto_logs(
+    df: DataFrame,
+    body: Column,
+    ts: Column,
+    resource_attrs: dict[str, Column] | None = None,
+    attrs: dict[str, Column] | None = None,
+    out_col: str = "otlp_proto",
+) -> DataFrame:
+    """Byte-level OTLP protobuf marshal of one log record per row — the
+    proto branch of marshaler.go:42-71, previously the only reference
+    marshaler without a byte port here. Attr values are stringified
+    (AnyValue.string_value), keys sorted at plan time; NULL body/values
+    are omitted (proto3 field absence)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    res_keys = sorted((resource_attrs or {}).keys())
+    attr_keys = sorted((attrs or {}).keys())
+
+    @pandas_udf("binary")  # no type hints: SCALAR eval (pd is local here)
+    def enc(ts_nanos, body_s, res_vals, attr_vals):
+        out = []
+        for i in range(len(ts_nanos)):
+            b = body_s.iloc[i]
+            out.append(
+                _encode_logsdata(
+                    int(ts_nanos.iloc[i]),
+                    None if b is None else str(b),
+                    zip(res_keys, res_vals.iloc[i]),
+                    zip(attr_keys, attr_vals.iloc[i]),
+                )
+            )
+        return pd.Series(out)
+
+    def arr(d: dict[str, Column] | None, keys: list[str]) -> Column:
+        # values packed positionally (keys are plan-time constants, sorted);
+        # an empty dict still needs a typed empty array
+        if not keys:
+            return F.array().cast("array<string>")
+        return F.array(*[(d or {})[k].cast("string") for k in keys])
+
+    ts_nanos = (F.unix_micros(ts.cast("timestamp")) * 1000).cast("long")
+    return df.withColumn(
+        out_col,
+        enc(
+            ts_nanos,
+            body.cast("string"),
+            arr(resource_attrs, res_keys),
+            arr(attrs, attr_keys),
+        ),
+    )
+
+
+def parse_otlp_proto_logs(raw: bytes) -> dict:
+    """Minimal wire-format decoder for round-trip TESTS (driver-side, not
+    a Spark operator): returns {ts_nanos, body, attrs, resource_attrs}."""
+
+    def read_varint(buf: bytes, i: int) -> tuple[int, int]:
+        shift = n = 0
+        while True:
+            b = buf[i]
+            i += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n, i
+            shift += 7
+
+    def fields(buf: bytes):
+        i = 0
+        while i < len(buf):
+            key, i = read_varint(buf, i)
+            fno, wt = key >> 3, key & 7
+            if wt == 2:
+                ln, i = read_varint(buf, i)
+                yield fno, buf[i : i + ln]
+                i += ln
+            elif wt == 1:
+                yield fno, buf[i : i + 8]
+                i += 8
+            elif wt == 0:
+                v, i = read_varint(buf, i)
+                yield fno, v
+            else:  # pragma: no cover — subset never emits groups/fixed32
+                raise ValueError(f"unexpected wire type {wt}")
+
+    def any_str(buf: bytes) -> str:
+        return dict(fields(buf))[1].decode("utf-8")
+
+    def kv(buf: bytes) -> tuple[str, str]:
+        d = dict(fields(buf))
+        return d[1].decode("utf-8"), any_str(d[2])
+
+    out = {"attrs": {}, "resource_attrs": {}, "body": None}
+    (_, rl), = fields(raw)
+    for fno, payload in fields(rl):
+        if fno == 1:  # Resource
+            for rfno, rkv in fields(payload):
+                if rfno == 1:
+                    k, v = kv(rkv)
+                    out["resource_attrs"][k] = v
+        elif fno == 2:  # ScopeLogs
+            for sfno, rec in fields(payload):
+                if sfno == 2:  # LogRecord
+                    for lfno, lval in fields(rec):
+                        if lfno == 1:
+                            out["ts_nanos"] = int.from_bytes(lval, "little")
+                        elif lfno == 5:
+                            out["body"] = any_str(lval)
+                        elif lfno == 6:
+                            k, v = kv(lval)
+                            out["attrs"][k] = v
+    return out
 
 
 def body_lines(df: DataFrame, body_col: str = "text") -> DataFrame:

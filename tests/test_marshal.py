@@ -216,3 +216,72 @@ def test_attr_value_to_string_extreme_doubles(spark):
     assert row["big"] in ("1.0E19", "10000000000000000000")
     # 9.2e18 < 2^63-1: in range, integral -> fixed digits
     assert row["edge"] == "9200000000000000000"
+
+
+def test_otlp_proto_golden_bytes(spark):
+    """Byte-level golden for the proto marshaler (marshaler.go:42-71 proto
+    branch): expected bytes hand-assembled from the protobuf wire-format
+    spec + the public OTLP field numbers — every tag and length written
+    out explicitly, independent of the encoder under test."""
+    import datetime
+
+    from cardinalhq_otel_collector_spark.operators.marshal import otlp_proto_logs
+
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 1)
+    df = spark.createDataFrame([("hi", ts)], "body string, ts timestamp")
+    out = otlp_proto_logs(
+        df,
+        body=F.col("body"),
+        ts=F.col("ts"),
+        resource_attrs={"r": F.lit("x")},
+        attrs={"k": F.lit("v")},
+    ).collect()[0]["otlp_proto"]
+
+    ts8 = (1767225601 * 10**9).to_bytes(8, "little")  # fixed64 LE per spec
+    kv_k = bytes.fromhex("0a016b") + bytes.fromhex("1203") + bytes.fromhex("0a0176")
+    #       ^KeyValue.key="k"        ^value=AnyValue       ^string_value="v"
+    rec = (
+        b"\x09" + ts8                      # LogRecord.time_unix_nano=1, wt=1
+        + bytes.fromhex("2a040a026869")    # body=5: AnyValue.string "hi"
+        + bytes.fromhex("3208") + kv_k     # attributes=6
+    )
+    sl = bytes.fromhex("1219") + rec       # ScopeLogs.log_records=2, len 25
+    kv_r = bytes.fromhex("0a0172") + bytes.fromhex("1203") + bytes.fromhex("0a0178")
+    res = bytes.fromhex("0a08") + kv_r     # Resource.attributes=1
+    rl = bytes.fromhex("0a0a") + res + bytes.fromhex("121b") + sl
+    expected = bytes.fromhex("0a29") + rl  # LogsData.resource_logs=1
+    assert bytes(out) == expected
+
+
+def test_otlp_proto_roundtrip_and_null_omission(spark):
+    """Round-trip through the independent mini-decoder; NULL body and NULL
+    attr values are OMITTED fields (proto3 absence), not empty strings."""
+    import datetime
+
+    from cardinalhq_otel_collector_spark.operators.marshal import (
+        otlp_proto_logs,
+        parse_otlp_proto_logs,
+    )
+
+    rows = [
+        (1, "body one", "click", datetime.datetime(2026, 1, 2, 3, 4, 5, 123456)),
+        (2, None, None, datetime.datetime(2026, 1, 2, 3, 4, 6)),
+        (3, 'quotes " and \\ bytes é', "vu", datetime.datetime(2026, 1, 2, 3, 4, 7)),
+    ]
+    df = spark.createDataFrame(rows, "id int, body string, et string, ts timestamp")
+    out = {
+        r["id"]: parse_otlp_proto_logs(bytes(r["otlp_proto"]))
+        for r in otlp_proto_logs(
+            df,
+            body=F.col("body"),
+            ts=F.col("ts"),
+            resource_attrs={"service": F.lit("svc")},
+            attrs={"event_type": F.col("et")},
+        ).collect()
+    }
+    assert out[1]["body"] == "body one"
+    assert out[1]["attrs"] == {"event_type": "click"}
+    assert out[1]["resource_attrs"] == {"service": "svc"}
+    assert out[1]["ts_nanos"] == 1767323045123456000
+    assert out[2]["body"] is None and out[2]["attrs"] == {}
+    assert out[3]["body"] == 'quotes " and \\ bytes é'  # multi-byte utf-8 lengths
