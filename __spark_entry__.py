@@ -1387,6 +1387,56 @@ FROM agg GROUP BY sink
 """
 
 
+def _marshal_sink_duck() -> str:
+    """Oracle for the S6m sink-boundary marshal stage: the full routed
+    pipeline (parse → mask → enrich → route, same frozen-literal CTEs as
+    _lib_pipeline_duck) composed with the sumo_ic line rendering
+    (_SUMO_DUCK's date/json logic) over the 'errors' sink only — so the
+    check covers marshal-at-the-sink END TO END, not just the marshal op
+    in isolation."""
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
+
+    case_sql = _ROUTING_CASE_ORACLE
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_FIXTURE}')),
+p AS (
+  SELECT *,
+         regexp_extract(text, '(?:^|\\s)level=("[^"]*"|\\S+)', 1) AS _v,
+         regexp_extract(text, '(?:^|\\s)service=("[^"]*"|\\S+)', 1) AS _sv
+  FROM t
+),
+parsed AS (
+  SELECT *,
+         nullif(CASE WHEN _v LIKE '"%"' AND length(_v) >= 2
+                     THEN substr(_v, 2, length(_v) - 2) ELSE _v END, '') AS parsed_level,
+         nullif(CASE WHEN _sv LIKE '"%"' AND length(_sv) >= 2
+                     THEN substr(_sv, 2, length(_sv) - 2) ELSE _sv END, '') AS parsed_service,
+         {_pii_mask_sql('text')} AS _masked
+  FROM p
+),
+enriched AS (
+  SELECT *,
+         CASE tool WHEN 'search' THEN 'search' WHEN 'browser' THEN 'web'
+              WHEN 'python' THEN 'compute' WHEN 'calculator' THEN 'compute'
+              ELSE 'unknown' END AS tool_category,
+         (_masked <> text) AS has_pii
+  FROM parsed
+),
+routed AS (SELECT *, {case_sql} AS sink FROM enriched)
+SELECT '{{"date": "' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+       || CASE WHEN extract(microsecond FROM ts) % 1000000 > 0
+               THEN '.' || rtrim(lpad(CAST(extract(microsecond FROM ts) % 1000000 AS VARCHAR), 6, '0'), '0')
+               ELSE '' END
+       || ' +0000 UTC","sourceName":"errors","sourceHost":'
+       || to_json(coalesce(parsed_service, 'unknown'))
+       || ',"sourceCategory":' || to_json(coalesce(tool, 'unknown'))
+       || ',"fields":' || to_json(struct_pack(tool_category := tool_category))
+       || ',"message":' || to_json(struct_pack(conv_id := conv_id, log := _masked))
+       || '}}' AS line
+FROM routed WHERE sink = 'errors'
+"""
+
+
 def _lib_streaming_duck() -> str:
     """Per-sink routed counts of the streaming pipeline — identical route
     semantics to the batch oracle (the streaming machinery is checkpoint/
@@ -1567,6 +1617,7 @@ def _oracles() -> dict[str, str]:
         "emb_cosine_neardup": _EMB_NEARDUP_DUCK,
         "multimodal_decode": _MULTIMODAL_DUCK,
         "lib_pipeline_e2e": _lib_pipeline_duck(),
+        "lib_marshal_sink": _marshal_sink_duck(),
         "lib_template_clusters": _lib_clusters_duck(),
         "lib_streaming_pipeline": _lib_streaming_duck(),
         "lib_stateful_intervals": _lib_stateful_duck(),
@@ -1601,6 +1652,33 @@ def _lib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.read(AGG_TABLE)
         .groupBy("sink")
         .agg(F.sum("n").alias("turns"), F.count(F.lit(1)).alias("groups"))
+    )
+
+
+def _lib_marshal_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6m sink-boundary marshal stage (exporter.go:48-66 marshal →
+    partition → upload): the pipeline runs e2e over the COMMITTED fixture
+    with marshal_sinks={'errors': 'sumo_ic'}, then the marshaled text
+    files are read BACK from disk — the oracle reproduces the exact lines
+    (routed CTE + sumo rendering) in DuckDB, so the byte shape is checked
+    after the full write/read trip, not just in-plan."""
+    import tempfile
+
+    from cardinalhq_otel_collector_spark.config import PipelineConfig
+    from cardinalhq_otel_collector_spark.datagen import routing_rules
+    from cardinalhq_otel_collector_spark.plans.pipeline import run_pipeline
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+    from cardinalhq_otel_collector_spark.sources.fixtures import TRANSCRIPTS_FIXTURE
+
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="entry_marshal_wh_"))
+    cfg = PipelineConfig(
+        rules=routing_rules(), marshal_sinks={"errors": "sumo_ic"}
+    )
+    df = spark.read.parquet(TRANSCRIPTS_FIXTURE)
+    run_pipeline(spark, df, catalog, config=cfg, run_id="entry_marshal")
+    return (
+        spark.read.text(catalog.path("marshaled_errors"))
+        .select(F.col("value").alias("line"))
     )
 
 
@@ -1754,6 +1832,7 @@ GROUP BY 1, 2
 
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
+    "lib_marshal_sink": _lib_marshal_sink,
     "lib_template_clusters": _lib_template_clusters,
     "lib_streaming_pipeline": _lib_streaming,
     "lib_stateful_intervals": _lib_stateful,

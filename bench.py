@@ -64,6 +64,19 @@ BENCH_QUERIES = [
 TURNS_PER_SF = int(os.environ.get("SPARK_GRAFT_TURNS_PER_SF", "48000000"))
 AVG_TURNS_PER_CONV = 8.0
 
+# Per-turn validity band for the 1-core side of scaling sweeps, in µs/turn.
+# Measured across rounds 3-5 (BENCH.md): local[1] is normally noise-immune
+# (one core cannot saturate the shared memory bus) and sits at 23.8-28.5
+# µs/turn with CV ~5%; the one observed exception was a severe daytime bus
+# episode that drove it to 66 µs/turn and produced a bogus 1.479
+# "efficiency". A local[1] sample ABOVE this ceiling is a noise artifact
+# and must not be used as the numerator of an efficiency quote (it inflates
+# the ratio); samples below are fine (noise only slows, never speeds).
+# The high-parallelism side needs no band: min-of-N over noisy samples can
+# only UNDER-estimate efficiency, which is the conservative direction.
+LOCAL1_US_PER_TURN_CEILING = float(
+    os.environ.get("SPARK_GRAFT_LOCAL1_US_CEILING", "30.0"))
+
 
 def _cpu_ticks() -> tuple[int, int]:
     """(total_ticks, steal_ticks) from /proc/stat — to report hypervisor
@@ -174,15 +187,27 @@ def run_pipeline_bench(spark, n_convs: int, cores: int) -> dict:
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Best-of-N per query (N≥3): single-shot per-query numbers on this
+    host are coin flips — round 4's driver bench reported a phantom 2×
+    'regression' on unchanged code (pipeline_route_agg 6.44→12.45s) purely
+    from a noise-window draw. Same min-estimator rationale as the pipeline
+    bench; attempt 0 additionally absorbs per-query plan compilation, so
+    min-of-N is closer to steady-state cost. The full query set is
+    re-interleaved per attempt (not N back-to-back runs of one query) to
+    decorrelate each query's min from any single noise episode."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    attempts = int(os.environ.get("SPARK_GRAFT_QUERY_ATTEMPTS", "3"))
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(attempts):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            if name not in out or el < out[name]:
+                out[name] = el
     return out
 
 
@@ -209,40 +234,72 @@ def main_default(sf_dir: str, cores: int, skip_queries: bool = False) -> dict:
     }
 
 
+def _scaling_valid(sample: dict, low: int) -> bool:
+    """Per-turn-band validity: a 1-core sample above the stable band is a
+    bus-episode artifact and may not serve as the efficiency numerator."""
+    if sample["cores"] != 1 and sample["cores"] != low:
+        return True
+    if sample["cores"] == 1:
+        return sample["us_per_turn"] <= LOCAL1_US_PER_TURN_CEILING
+    return True
+
+
 def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", rounds))
     """Alternating best-of-N per parallelism level.
 
-    The sandbox host oversubscribes CPU (hypervisor steal produces up to
-    10x swings on identical work), so each level is sampled ``rounds``
-    times, interleaved low/high to decorrelate from noise episodes, and
-    the MINIMUM time per level is used — min is the standard noise-robust
-    estimator of intrinsic cost.
+    The sandbox host oversubscribes CPU and memory bandwidth (hypervisor
+    neighbors produce up to 40x swings on identical work, invisible to
+    steal%), so each level is sampled ``rounds`` times, interleaved
+    low/high to decorrelate from noise episodes, and the MINIMUM time per
+    valid sample is used — min is the standard noise-robust estimator of
+    intrinsic cost, and noise on this host only ever slows a run.
+
+    SPARK_GRAFT_SCALING_STATE=<path.json>: accumulate samples across
+    invocations. Noise episodes here last minutes to an hour, so the only
+    way to catch quiet windows at BOTH levels is to spread pairs over
+    hours; the state file lets each invocation contribute `rounds` more
+    alternating pairs and the report quotes best-of-ALL-accumulated with
+    the per-turn-band validity check applied per sample. All accumulated
+    samples must be over the identical physical input (n_turns asserted).
+
+    SPARK_GRAFT_SCALING_SRC=<dir>: persistent shared-input dir; generated
+    once if missing, reused (and kept) otherwise — required when
+    accumulating, so every pair scans the same bytes.
     """
-    samples: dict[int, list[dict]] = {low: [], high: []}
-    shared_src = _mkdtemp("bench_scaling_src_")
-    # Pre-generate the shared input at FULL host parallelism (untimed
-    # control-plane work): letting the first local[1] subprocess generate
-    # a 10^7-turn table single-threaded wastes a half hour of wall clock
-    # before the first timed sample.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", rounds))
+    state_path = os.environ.get("SPARK_GRAFT_SCALING_STATE")
+    persist_src = os.environ.get("SPARK_GRAFT_SCALING_SRC")
+    shared_src = persist_src or _mkdtemp("bench_scaling_src_")
     sf = _sf_from_dir(sf_dir)
     n_convs = max(100, int(TURNS_PER_SF * sf / AVG_TURNS_PER_CONV))
-    gen_cores = os.cpu_count() or 8
-    spark = _build(gen_cores)
-    try:
-        from cardinalhq_otel_collector_spark.datagen import transcripts
+    src_table = os.path.join(shared_src, "transcripts")
+    if not os.path.exists(os.path.join(src_table, "_SUCCESS")):
+        # Pre-generate the shared input at FULL host parallelism (untimed
+        # control-plane work): letting the first local[1] subprocess
+        # generate a 10^7-turn table single-threaded wastes a half hour of
+        # wall clock before the first timed sample.
+        gen_cores = os.cpu_count() or 8
+        spark = _build(gen_cores)
+        try:
+            from cardinalhq_otel_collector_spark.datagen import transcripts
 
-        # partitions = 4*low, NOT 4*high: fewer/bigger files → bigger parquet
-        # row groups → measurably better scan throughput (measured at 20.1M
-        # turns, local[4]: 16-file input 156.2 s vs 4-file 129.2 s, +21%).
-        # Identical input for both levels either way; this matches the layout
-        # the round-2 numbers were taken on.
-        transcripts(
-            spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
-            partitions=4 * low,
-        ).write.mode("overwrite").parquet(os.path.join(shared_src, "transcripts"))
-    finally:
-        spark.stop()
+            # partitions = 4*low, NOT 4*high: fewer/bigger files → bigger
+            # parquet row groups → measurably better scan throughput
+            # (measured at 20.1M turns, local[4]: 16-file input 156.2 s vs
+            # 4-file 129.2 s, +21%). Identical input for both levels either
+            # way; this matches the layout the round-2 numbers were taken on.
+            transcripts(
+                spark, n_convs=n_convs, hot_convs=max(2, n_convs // 1000),
+                partitions=4 * low,
+            ).write.mode("overwrite").parquet(src_table)
+        finally:
+            spark.stop()
+
+    state: dict = {"samples": []}
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
     for _ in range(rounds):
         for cores in (low, high):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
@@ -251,15 +308,39 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
                  "--cores", str(cores), "--pipeline-only"],
-                capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+                capture_output=True, text=True, env=env, cwd=REPO, timeout=5400,
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            samples[cores].append(json.loads(line))
-    shutil.rmtree(shared_src, ignore_errors=True)
-    best = {c: min(samples[c], key=lambda r: r["pipeline_sec"]) for c in (low, high)}
+            rec = json.loads(line)
+            rec["cores"] = cores
+            rec["us_per_turn"] = round(1e6 * rec["pipeline_sec"] / rec["n_turns"], 2)
+            rec["at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            state["samples"].append(rec)
+            if state_path:
+                with open(state_path + ".tmp", "w") as f:
+                    json.dump(state, f, indent=1)
+                os.replace(state_path + ".tmp", state_path)
+    if not persist_src:
+        shutil.rmtree(shared_src, ignore_errors=True)
+
+    samples = {c: [s for s in state["samples"] if s["cores"] == c]
+               for c in (low, high)}
+    n_turns_set = {s["n_turns"] for s in state["samples"]}
+    assert len(n_turns_set) == 1, (
+        f"accumulated samples span different inputs: {n_turns_set}")
+    valid = {c: [s for s in samples[c] if _scaling_valid(s, low)]
+             for c in (low, high)}
+    # If every low-side sample is out of band (sustained bus episode, or a
+    # tiny smoke input where the ~5.5s driver floor dominates µs/turn),
+    # fall back to all samples but mark the report invalid — never quote it.
+    all_valid = all(valid[c] for c in (low, high))
+    if not all_valid:
+        valid = samples
+    best = {c: min(valid[c], key=lambda r: r["pipeline_sec"]) for c in (low, high)}
     t_low = best[low]["pipeline_sec"]
     t_high = best[high]["pipeline_sec"]
     eff = (t_low / t_high) / (high / low)
+    n_per_level = min(len(samples[low]), len(samples[high]))
     report = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -268,25 +349,109 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
         "throughput_high": best[high]["value"],
         "n_turns": best[low]["n_turns"],
         "sf": best[low]["sf"],
+        "rounds_accumulated": n_per_level,
+        "protocol_valid": all_valid,
+        "invalid_low_samples": sum(
+            1 for s in samples[low] if not _scaling_valid(s, low)),
     }
+    def _fmt(c):
+        return ", ".join(
+            f"{s['pipeline_sec']:.1f}s/{s['us_per_turn']}µs"
+            + ("" if _scaling_valid(s, low) else " INVALID(band)")
+            for s in samples[c])
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
-            f"best of {rounds} alternating samples per level)\n\n"
-            f"| parallelism | n_turns | pipeline sec (best) | turns/sec | all samples (sec) | steal% |\n"
+            f"best of {n_per_level} alternating samples per level"
+            f"{', accumulated across invocations' if state_path else ''})\n\n"
+            f"| parallelism | n_turns | pipeline sec (best valid) | turns/sec | all samples (sec / µs-per-turn) | steal% |\n"
             f"|---|---|---|---|---|---|\n"
             + "".join(
-                f"| local[{c}] | {best[c]['n_turns']} | {best[c]['pipeline_sec']} | "
-                f"{best[c]['value']} | "
-                f"{[round(s['pipeline_sec'],1) for s in samples[c]]} | "
+                f"| local[{c}] | {best[c]['n_turns']} | {best[c]['pipeline_sec']:.3f} | "
+                f"{best[c]['value']} | {_fmt(c)} | "
                 f"{[s.get('steal_pct') for s in samples[c]]} |\n"
                 for c in (low, high)
             )
             + f"\nStage timings (best): local[{low}]={best[low].get('stage_timings')}, "
             f"local[{high}]={best[high].get('stage_timings')}\n\n"
             f"Scaling efficiency (T_{low}/T_{high})/({high}/{low}) = **{eff:.3f}**"
-            f" (target ≥ 0.8 per BASELINE.json north rule; hypervisor CPU"
-            f" steal makes single-shot numbers unreliable — see steal%).\n"
+            f" (target ≥ 0.8 per BASELINE.json north rule; min over valid"
+            f" samples per level, local[1] validity band ≤"
+            f" {LOCAL1_US_PER_TURN_CEILING} µs/turn per BENCH.md"
+            f" host-noise protocol).\n"
+        )
+    return report
+
+
+def main_clusters_scale(cores: int, n_templates: int = 150_000) -> dict:
+    """Time the DISTRIBUTED clustering branch (>400k band rows →
+    min-label propagation, operators/fingerprint.py) — the branch a
+    100-TB run would take. The sf0.1 pipeline bench never leaves the
+    driver-union-find probe (distinct templates ≈ code sites), so this
+    mode synthesizes a free-text-shaped corpus of DISTINCT templates:
+    groups of 3 near-dup variants (shared shingle mass within a group →
+    real band collisions and non-trivial components) sized past the
+    400k-band-row probe bound. Also times the driver path on the SAME
+    corpus (bound raised) so the crossover cost is measured, not guessed."""
+    from pyspark.sql import functions as SF
+
+    spark = _build(cores)
+    try:
+        from cardinalhq_otel_collector_spark.operators.fingerprint import (
+            cluster_templates,
+            template_bands,
+        )
+
+        df = (
+            spark.range(n_templates)
+            .select(
+                SF.concat(
+                    SF.lit("request path=/api/v"),
+                    (SF.col("id") % 40).cast("string"),
+                    SF.lit("/resource method=GET status=<NUM> group-"),
+                    SF.floor(SF.col("id") / 3).cast("string"),
+                    SF.lit(" variant suffix "),
+                    (SF.col("id") % 3).cast("string"),
+                ).alias("template")
+            )
+            .withColumn("fingerprint", SF.xxhash64("template"))
+            .repartition(2 * cores)
+            .persist()
+        )
+        n = df.count()
+        band_rows = template_bands(df).count()
+        results = {}
+        for label, bound in (("distributed", 400_000), ("driver_probe", 10_000_000)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = cluster_templates(df, driver_max_rows=bound)
+                n_clusters = out.select("cluster_id").distinct().count()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            results[label] = {"sec": round(best, 3), "n_clusters": n_clusters}
+        df.unpersist()
+    finally:
+        spark.stop()
+    report = {
+        "metric": "clusters_scale",
+        "n_templates": n,
+        "band_rows": band_rows,
+        "cores": cores,
+        **{k: v["sec"] for k, v in results.items()},
+        "n_clusters": results["distributed"]["n_clusters"],
+        "paths_agree": results["distributed"]["n_clusters"]
+        == results["driver_probe"]["n_clusters"],
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Distributed-clustering branch timing ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
+            f"best of 2 per path)\n\n"
+            f"| corpus | band rows | cores | distributed min-label (s) | driver probe+union-find (s) | clusters (agree) |\n"
+            f"|---|---|---|---|---|---|\n"
+            f"| {n} distinct templates | {band_rows} | local[{cores}] | "
+            f"{results['distributed']['sec']} | {results['driver_probe']['sec']} | "
+            f"{results['distributed']['n_clusters']} ({report['paths_agree']}) |\n"
         )
     return report
 
@@ -368,6 +533,9 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true",
                     help="hot-conversation salting benchmark (appends to BENCH.md)")
+    ap.add_argument("--clusters-scale", action="store_true",
+                    help="time the >400k-band-row distributed clustering branch")
+    ap.add_argument("--n-templates", type=int, default=150_000)
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
     ap.add_argument("--pipeline-only", action="store_true",
@@ -376,6 +544,8 @@ if __name__ == "__main__":
 
     if args.skew:
         out = main_skew(args.cores)
+    elif args.clusters_scale:
+        out = main_clusters_scale(args.cores, args.n_templates)
     elif args.scaling:
         out = main_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
     else:

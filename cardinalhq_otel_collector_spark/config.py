@@ -69,6 +69,10 @@ class PipelineConfig:
     # S6 fan-out
     partition_granularity: str = "day"  # day|hour|minute (partition.go default: minute)
     salt_partitions: int = 0  # >0 → salted repartition before write (hot convs)
+    # S6m sink-boundary marshal: sink label → wire format (exporter.go:48-66
+    # marshal→partition→upload; format selection marshaler.go:42-71). Empty
+    # = stage skipped; sinks that consume parquet directly need no marshal.
+    marshal_sinks: dict[str, str] = field(default_factory=dict)
 
     @property
     def agg_interval_seconds(self) -> int:
@@ -84,6 +88,19 @@ class PipelineConfig:
             raise ValueError(f"default_agg_type must be one of {_VALID_AGG}")
         if self.partition_granularity not in ("day", "hour", "minute"):
             raise ValueError("partition_granularity must be day|hour|minute")
+        known_sinks = {r.get("sink") for r in self.rules} | {self.default_sink}
+        for sink, fmt in self.marshal_sinks.items():
+            # import here: config must stay importable without the plans pkg
+            from .plans.pipeline import MARSHAL_FORMATS
+
+            if fmt not in MARSHAL_FORMATS:
+                raise ValueError(
+                    f"marshal format {fmt!r} for sink {sink!r}: use {MARSHAL_FORMATS}"
+                )
+            if sink not in known_sinks:
+                raise ValueError(
+                    f"marshal_sinks names unknown sink {sink!r}; known: {sorted(known_sinks)}"
+                )
         seen_ids = set()
         for r in self.rules:
             if not {"rule_id", "predicate", "sink"} <= set(r):

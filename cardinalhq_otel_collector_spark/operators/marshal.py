@@ -336,10 +336,17 @@ def _pb_kv(key: str, value: str) -> bytes:
     return _pb_ld(1, key.encode("utf-8")) + _pb_ld(2, _pb_str_any(value))
 
 
-def _encode_logsdata(ts_nanos: int, body, res_items, attr_items) -> bytes:
+def _encode_logsdata(ts_nanos, body, res_items, attr_items) -> bytes:
     rec = bytearray()
-    # time_unix_nano = 1, fixed64 (wire type 1), little-endian
-    rec += _pb_varint((1 << 3) | 1) + int(ts_nanos).to_bytes(8, "little")
+    # time_unix_nano = 1, fixed64 (wire type 1), little-endian. NULL or 0
+    # omits the field — proto3 zero-value absence, the same bytes the
+    # generated gogoproto marshalers emit and the NULL tolerance the json
+    # branch already has. Pre-epoch timestamps wrap two's-complement like
+    # Go's uint64 conversion (pdata stores time_unix_nano as uint64).
+    if ts_nanos:
+        rec += _pb_varint((1 << 3) | 1) + (
+            int(ts_nanos) & 0xFFFFFFFFFFFFFFFF
+        ).to_bytes(8, "little")
     if body is not None:
         rec += _pb_ld(5, _pb_str_any(body))
     for k, v in attr_items:
@@ -374,12 +381,18 @@ def otlp_proto_logs(
 
     @pandas_udf("binary")  # no type hints: SCALAR eval (pd is local here)
     def enc(ts_nanos, body_s, res_vals, attr_vals):
+        # arrow→pandas coerces a null-bearing int64 column to float64
+        # (NaN for nulls), which both raises on int(NaN) and silently
+        # degrades >2^53 ns values elsewhere in the SAME batch; nullable
+        # Int64 preserves nulls and full precision.
+        ts_nanos = ts_nanos.astype("Int64")
         out = []
         for i in range(len(ts_nanos)):
+            t = ts_nanos.iloc[i]
             b = body_s.iloc[i]
             out.append(
                 _encode_logsdata(
-                    int(ts_nanos.iloc[i]),
+                    None if pd.isna(t) else int(t),
                     None if b is None else str(b),
                     zip(res_keys, res_vals.iloc[i]),
                     zip(attr_keys, attr_vals.iloc[i]),
@@ -445,7 +458,9 @@ def parse_otlp_proto_logs(raw: bytes) -> dict:
         d = dict(fields(buf))
         return d[1].decode("utf-8"), any_str(d[2])
 
-    out = {"attrs": {}, "resource_attrs": {}, "body": None}
+    # ts_nanos defaults to 0: the encoder omits a NULL/zero time_unix_nano
+    # (proto3 zero-value absence), and proto3 decoding restores the zero.
+    out = {"attrs": {}, "resource_attrs": {}, "body": None, "ts_nanos": 0}
     (_, rl), = fields(raw)
     for fno, payload in fields(rl):
         if fno == 1:  # Resource

@@ -29,6 +29,7 @@ Scale decisions baked in:
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,9 +73,70 @@ ROUTED_TABLE = "routed"
 AGG_TABLE = "sink_aggregates"
 CLUSTERS_TABLE = "template_clusters"
 
+def _tz_hour_aligned(tz: str) -> bool:
+    """True iff date_format-derived p_date/p_hour buckets coincide with
+    epoch-aligned ``window(ts, '1 hour')`` buckets in session timezone
+    ``tz``: UTC aliases or an explicit fixed whole-hour offset. Named
+    regional zones are rejected even when currently whole-hour — DST
+    transitions (fall-back merges two epoch hours into one local bucket)
+    and :30/:45 offsets both break the S7 fast path's bucket equality."""
+    t = tz.strip().upper()
+    if t in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT", "+00:00", "-00:00"):
+        return True
+    return bool(re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):00(:00)?", t))
+
+
 STAGE_ROUTED = "routed_write"
 STAGE_CLUSTERS = "clusters_write"
 STAGE_AGG = "aggregates_write"
+STAGE_MARSHAL = "marshal_write"
+MARSHAL_TABLE_PREFIX = "marshaled_"
+MARSHAL_FORMATS = ("body", "sumo_ic", "otlp_json", "otlp_proto")
+
+
+def marshal_routed(df: DataFrame, fmt: str, sink: str) -> DataFrame:
+    """Render one sink's routed facts in its wire format (the marshal half
+    of exporter.go:48-66; format selection mirrors marshaler.go:42-71).
+    Returns (p_date, value): value is the marshaled line for the string
+    formats or the protobuf wire bytes for otlp_proto. The body is the
+    REDACTED text view — the same coalesce(text_redacted, text) contract
+    every other consumer of the slimmed routed table uses."""
+    from ..operators import marshal as M
+
+    body = F.coalesce(F.col("text_redacted"), F.col("text"))
+    host = F.coalesce(F.col("parsed_service"), F.lit("unknown"))
+    if fmt == "body":
+        # body_marshaler.go:26-45 — NULL renders as '' (AsString contract)
+        return df.select("p_date", F.coalesce(body, F.lit("")).alias("value"))
+    if fmt == "sumo_ic":
+        out = M.sumo_ic_lines(
+            df,
+            source_name=F.lit(sink),
+            source_host=host,
+            source_category=F.coalesce(F.col("tool"), F.lit("unknown")),
+            body=body,
+            ts=F.col("ts"),
+            fields={"tool_category": F.col("tool_category")},
+            message_attrs={"conv_id": F.col("conv_id")},
+            out_col="value",
+        )
+    elif fmt == "otlp_json":
+        out = M.otlp_json_logs(
+            df, body=body, ts=F.col("ts"),
+            resource_attrs={"service": host},
+            attrs={"tool": F.col("tool"), "level": F.col("parsed_level")},
+            out_col="value",
+        )
+    elif fmt == "otlp_proto":
+        out = M.otlp_proto_logs(
+            df, body=body, ts=F.col("ts"),
+            resource_attrs={"service": host},
+            attrs={"tool": F.col("tool")},
+            out_col="value",
+        )
+    else:
+        raise ValueError(f"unknown marshal format {fmt!r}: use {MARSHAL_FORMATS}")
+    return out.select("p_date", "value")
 
 
 def decorate(
@@ -251,23 +313,32 @@ def run_pipeline(
     else:
         _t0 = _time.perf_counter()
         facts_all = catalog.read(ROUTED_TABLE)
-        if config.agg_interval_seconds == 3600 and config.partition_granularity in (
-            "hour",
-            "minute",
+        if (
+            config.agg_interval_seconds == 3600
+            and config.partition_granularity in ("hour", "minute")
+            and _tz_hour_aligned(spark.conf.get("spark.sql.session.timeZone"))
         ):
             # Partition-bucket fast path: when the agg interval equals the
             # write's hour partition granularity, the bucket is already
             # materialized as partition VALUES (p_date/p_hour, zero IO) —
             # the parquet scan reads only the conv_id+tool bytes, no
-            # timestamp decode, no window(). Same buckets by construction:
-            # p_date/p_hour are date_format(ts) in the session tz and
-            # window(ts, '1 hour') floors to the same epoch-aligned hour.
+            # timestamp decode, no window(). Same buckets by construction
+            # ONLY when the session timezone is a fixed whole-hour offset
+            # (gated above): p_date/p_hour are date_format(ts) in the
+            # session tz while window(ts, '1 hour') is epoch-aligned — a
+            # DST fall-back merges two epoch hours into one local bucket
+            # and a :30/:45 offset shifts every boundary, so named
+            # regional zones fall through to the generic path.
+            # NULL-ts rows land in __HIVE_DEFAULT_PARTITION__ on write;
+            # window() silently drops them in the generic path, so the
+            # fast path filters NULL partition values for path equality.
             # Measured sub-stage account (BENCH.md round-4): the scan-side
             # stages are memory-bandwidth-bound, so shedding the widest
             # column is both a throughput and a scaling win.
             ts_type = facts_all.schema["ts"].dataType
             aggs = (
                 facts_all.select("sink", "conv_id", "tool", "p_date", "p_hour")
+                .where(F.col("p_date").isNotNull() & F.col("p_hour").isNotNull())
                 .groupBy("sink", "conv_id", "tool", "p_date", "p_hour")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .withColumn(
@@ -305,6 +376,43 @@ def run_pipeline(
         summary["timings"][STAGE_AGG] = round(_time.perf_counter() - _t0, 3)
     if fail_after_stage == STAGE_AGG:
         raise RuntimeError("injected failure after aggregates_write")
+
+    # ---- S6m: optional sink-boundary marshal stage --------------------------
+    # exporter.go:48-66 shape (marshal → partition → upload per sub-batch):
+    # each configured sink's routed facts are rendered in that sink's wire
+    # format and written as time-partitioned files next to the tables. Off
+    # by default — a sink that consumes parquet directly needs no marshal.
+    # Reads are partition-pruned (sink is the leading partition key of the
+    # routed table), so each marshal scans only its own sink's bytes.
+    if config.marshal_sinks:
+        if STAGE_MARSHAL in done:
+            summary["stages_skipped"].append(STAGE_MARSHAL)
+        else:
+            _t0 = _time.perf_counter()
+            from pyspark.sql import Observation
+
+            per_sink = []
+            for sink, fmt in sorted(config.marshal_sinks.items()):
+                facts = catalog.read(ROUTED_TABLE).where(F.col("sink") == sink)
+                out = marshal_routed(facts, fmt, sink)
+                obs_m = Observation()
+                out = out.observe(obs_m, F.count(F.lit(1)).alias("n"))
+                table = f"{MARSHAL_TABLE_PREFIX}{sink}"
+                if fmt == "otlp_proto":
+                    # wire bytes: parquet binary column (text can't hold them)
+                    catalog.write(out, table, partition_by=["p_date"])
+                else:
+                    # line formats: newline-delimited text objects, one
+                    # leaf dir per p_date — the upload layout shape
+                    (
+                        out.write.mode("overwrite")
+                        .partitionBy("p_date")
+                        .text(catalog.path(table))
+                    )
+                per_sink.append((sink, obs_m.get["n"]))
+            lineage.commit_many(run_id, STAGE_MARSHAL, per_sink)
+            summary["stages_run"].append(STAGE_MARSHAL)
+            summary["timings"][STAGE_MARSHAL] = round(_time.perf_counter() - _t0, 3)
     return summary
 
 

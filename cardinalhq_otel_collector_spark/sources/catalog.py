@@ -155,7 +155,14 @@ class Catalog:
                 try:
                     wv2.create()
                 except AnalysisException as e:
-                    if "ALREADY_EXISTS" not in str(e).upper():
+                    # match the error CLASS first (stable across Spark
+                    # versions); the message-substring check is only the
+                    # fallback for engines that don't set one
+                    klass = (e.getErrorClass() or "") if hasattr(
+                        e, "getErrorClass") else ""
+                    if "ALREADY_EXISTS" not in klass and (
+                        klass or "ALREADY_EXISTS" not in str(e).upper()
+                    ):
                         raise
                     wv2.append()
             else:

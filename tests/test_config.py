@@ -67,3 +67,21 @@ def test_bad_regex():
 def test_bad_granularity():
     with pytest.raises(ValueError, match="granularity"):
         PipelineConfig(rules=_rules(), partition_granularity="week").validate()
+
+
+def test_marshal_sinks_validation():
+    import pytest
+
+    from cardinalhq_otel_collector_spark.datagen import routing_rules
+
+    PipelineConfig(
+        rules=routing_rules(), marshal_sinks={"errors": "sumo_ic"}
+    ).validate()
+    with pytest.raises(ValueError, match="marshal format"):
+        PipelineConfig(
+            rules=routing_rules(), marshal_sinks={"errors": "csv"}
+        ).validate()
+    with pytest.raises(ValueError, match="unknown sink"):
+        PipelineConfig(
+            rules=routing_rules(), marshal_sinks={"nope": "body"}
+        ).validate()

@@ -285,3 +285,35 @@ def test_otlp_proto_roundtrip_and_null_omission(spark):
     assert out[1]["ts_nanos"] == 1767323045123456000
     assert out[2]["body"] is None and out[2]["attrs"] == {}
     assert out[3]["body"] == 'quotes " and \\ bytes é'  # multi-byte utf-8 lengths
+
+
+def test_otlp_proto_null_and_extreme_timestamps(spark):
+    """ADVICE round-4: a NULL ts in the batch must not abort the job
+    (arrow→pandas coerces null-bearing int64 to float64: int(NaN) raised,
+    and >2^53 ns values in the SAME batch silently lost ns precision) and
+    a pre-epoch ts must not raise OverflowError. Contract: NULL/zero
+    time_unix_nano is an OMITTED field (proto3 zero absence → decodes as
+    0), negative nanos wrap like Go's uint64 conversion, and full int64
+    ns precision survives alongside a null in one batch."""
+    import datetime
+
+    from cardinalhq_otel_collector_spark.operators.marshal import (
+        otlp_proto_logs,
+        parse_otlp_proto_logs,
+    )
+
+    rows = [
+        (1, "a", None),  # NULL ts
+        (2, "b", datetime.datetime(2026, 1, 2, 3, 4, 5, 123457)),  # needs >2^53 ns
+        (3, "c", datetime.datetime(1969, 12, 31, 23, 59, 59)),  # pre-epoch
+    ]
+    df = spark.createDataFrame(rows, "id int, body string, ts timestamp")
+    out = {
+        r["id"]: parse_otlp_proto_logs(bytes(r["otlp_proto"]))
+        for r in otlp_proto_logs(df, body=F.col("body"), ts=F.col("ts")).collect()
+    }
+    assert out[1]["ts_nanos"] == 0 and out[1]["body"] == "a"
+    # exact ns fidelity in the same batch as the null (float64 would be off)
+    assert out[2]["ts_nanos"] == 1767323045123457000
+    # -1_000_000_000 ns wraps to 2^64 - 1e9 (uint64 two's complement)
+    assert out[3]["ts_nanos"] == (1 << 64) - 1_000_000_000

@@ -247,3 +247,155 @@ def test_lineage_commit_survives_crashed_partial_write(spark, warehouse):
     # committed_at round-trips as TIMESTAMP (LTZ), matching the fallback
     # schema in read() — pre/post-change files can coexist in one dir
     assert dict(lineage.read().dtypes)["committed_at"] == "timestamp"
+
+
+def test_marshal_sink_stage_e2e(spark, transcripts_df, tmp_path):
+    """S6m sink-boundary marshal (exporter.go:48-66 marshal→partition→
+    upload): each configured sink's routed facts are rendered in its wire
+    format and written as time-partitioned files. Exercises all three
+    output families (text line via sumo_ic, raw body, binary otlp_proto)
+    and the lineage/resume contract."""
+    from cardinalhq_otel_collector_spark.operators.marshal import (
+        parse_otlp_proto_logs,
+    )
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    cfg = PipelineConfig(
+        rules=routing_rules(),
+        marshal_sinks={
+            "errors": "sumo_ic",
+            "default": "body",
+            "search_tools": "otlp_proto",
+        },
+    ).validate()
+    catalog = Catalog(spark, str(tmp_path / "wh_marshal"))
+    summary = run_pipeline(spark, transcripts_df, catalog, config=cfg, run_id="m1")
+    assert "marshal_write" in summary["stages_run"]
+
+    routed = catalog.read(ROUTED_TABLE)
+    by_sink = dict(
+        routed.groupBy("sink").count().rdd.map(lambda r: (r["sink"], r["count"])).collect()
+    )
+
+    # sumo_ic text lines: count + shape
+    sumo = spark.read.text(catalog.path("marshaled_errors"))
+    assert sumo.count() == by_sink["errors"]
+    line = sumo.first()["value"]
+    assert line.startswith('{"date": "') and '"sourceName":"errors"' in line
+
+    # body text lines: multiset equality with the redacted text view
+    body = spark.read.text(catalog.path("marshaled_default"))
+    got = sorted(r["value"] for r in body.collect())
+    want = sorted(
+        r[0]
+        for r in routed.where(F.col("sink") == "default")
+        .select(F.coalesce("text_redacted", "text"))
+        .collect()
+    )
+    assert got == want
+
+    # otlp_proto binary: decodes, body matches some routed search_tools row
+    proto = catalog.read("marshaled_search_tools")
+    assert proto.count() == by_sink["search_tools"]
+    rec = parse_otlp_proto_logs(proto.first()["value"])
+    texts = {
+        r[0]
+        for r in routed.where(F.col("sink") == "search_tools")
+        .select(F.coalesce("text_redacted", "text"))
+        .collect()
+    }
+    assert rec["body"] in texts and rec["ts_nanos"] > 0
+
+    # resume: the stage is lineage-committed and skipped on rerun
+    summary2 = run_pipeline(
+        spark, transcripts_df, catalog, config=cfg, run_id="m1", resume=True
+    )
+    assert "marshal_write" in summary2["stages_skipped"]
+
+
+def test_s7_fast_path_requires_hour_aligned_timezone(spark, tmp_path):
+    """ADVICE round-4: p_date/p_hour follow the SESSION tz while
+    window(ts,'1 hour') is epoch-aligned, so the partition-value fast path
+    must fall back to the generic path under a non-whole-hour-offset zone
+    (Asia/Kolkata = +5:30 shifts every bucket boundary by 30 min). The
+    aggregate must equal window() regardless of session timezone."""
+    from datetime import datetime, timedelta
+
+    from cardinalhq_otel_collector_spark.operators.aggregate import interval_aggregate
+    from cardinalhq_otel_collector_spark.plans.pipeline import _tz_hour_aligned
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    # unit matrix for the gate itself
+    for tz in ("UTC", "GMT", "Etc/UTC", "+05:00", "-08:00", "GMT+3:00"):
+        assert _tz_hour_aligned(tz), tz
+    for tz in ("Asia/Kolkata", "Asia/Kathmandu", "America/New_York",
+               "Europe/Berlin", "+05:30"):
+        assert not _tz_hour_aligned(tz), tz
+
+    base = datetime(2026, 3, 1, 22, 15, 0)
+    rows = [
+        (f"conv-{c}", i, "user",
+         'level=INFO code=200 latency_ms=1 service=s msg="m"', "",
+         base + timedelta(minutes=11 * i + c))
+        for c in range(4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = PipelineConfig(
+        rules=routing_rules(), partition_granularity="hour", agg_interval="1 hour"
+    ).validate()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        catalog = Catalog(spark, str(tmp_path / "wh_kolkata"))
+        run_pipeline(spark, df, catalog, config=cfg, run_id="tzrun")
+        got = sorted(
+            map(tuple, catalog.read(AGG_TABLE)
+                .select("sink", "conv_id", "n", "bucket_start").collect())
+        )
+        expected = sorted(
+            map(tuple, interval_aggregate(
+                catalog.read(ROUTED_TABLE).select("sink", "conv_id", "tool", "ts"),
+                keys=["sink", "conv_id", "tool"], interval="1 hour",
+            ).select("sink", "conv_id", "n", "bucket_start").collect())
+        )
+        assert got == expected
+        # the +5:30 layout genuinely splits epoch hours across p_hour values,
+        # so equality above proves the generic path ran, not the fast path
+        hours = {
+            r["bucket_start"].minute for r in catalog.read(AGG_TABLE).collect()
+        }
+        assert hours == {0}  # epoch-aligned buckets, not :30-shifted
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_s7_fast_path_drops_null_ts_like_window(spark, tmp_path):
+    """ADVICE round-4: NULL-ts rows land in __HIVE_DEFAULT_PARTITION__ on
+    write; window() silently drops them, so the fast path must too — both
+    paths agree that null-timestamp rows produce no aggregate group."""
+    from datetime import datetime
+
+    from cardinalhq_otel_collector_spark.sources.catalog import Catalog
+
+    rows = [
+        ("c1", 0, "user", 'level=INFO code=1 latency_ms=1 service=s msg="m"',
+         "", datetime(2026, 3, 1, 10, 5)),
+        ("c1", 1, "user", 'level=INFO code=1 latency_ms=1 service=s msg="m"',
+         "", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = PipelineConfig(
+        rules=routing_rules(), partition_granularity="hour", agg_interval="1 hour"
+    ).validate()
+    catalog = Catalog(spark, str(tmp_path / "wh_nullts"))
+    run_pipeline(spark, df, catalog, config=cfg, run_id="nullts")
+    aggs = catalog.read(AGG_TABLE).collect()
+    assert sum(r["n"] for r in aggs) == 1  # the NULL-ts turn is not counted
+    assert all(r["bucket_start"] is not None for r in aggs)
