@@ -567,6 +567,53 @@ def q_doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, bits=16, band_bits=4)
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing word n-grams
+    with a held-out eval split (audit shape — every train row returned
+    with its contamination evidence)."""
+    from cardinalhq_otel_collector_spark.operators.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    out = decontaminate(train, eval_df, n=5, min_hits=1, keep_contaminated=True)
+    return out.select("doc_id", "n_hits", "n_eval_matches", "contaminated")
+
+
+def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with min-count and document frequencies."""
+    from cardinalhq_otel_collector_spark.operators.textstats import build_vocab
+
+    return build_vocab(_read(spark, sf_dir, "documents"), min_count=3)
+
+
+def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quota cap on the documents corpus — the
+    deterministic md5-rank stratified sample."""
+    from cardinalhq_otel_collector_spark.operators.sampling import quota_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return quota_sample(docs, ["lang", "source"], quota=5, key_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent preceding 'view' event to each
+    'click' per user (union+window — one shuffle, no range-join blowup).
+    Oracle: DuckDB's native ASOF LEFT JOIN, independently implemented."""
+    from cardinalhq_otel_collector_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "ts", "value"]
+    clicks = ev.filter(F.col("event_type") == "click").select(*cols)
+    views = ev.filter(F.col("event_type") == "view").select(*cols)
+    return asof_join(
+        clicks, views, on="ts", by="user_id",
+        right_payload=["event_id", "value"], right_order="event_id",
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalhq_otel_collector_spark.operators.similarity import brute_force_topk
 
@@ -1119,6 +1166,67 @@ SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
 """
 
+# Decontamination oracle: word 5-grams by single-space split, eval =
+# doc_id<20, train = doc_id>=20. Authored from the rule, not the
+# operator: DuckDB list slicing toks[i:i+4] is 1-based inclusive (5
+# tokens), mirroring the spec's "sliding window of 5 tokens"; short docs
+# contribute their whole token list once (greatest(len-4,1)).
+_DECONTAMINATE_DUCK = """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS ng
+       FROM d, unnest(range(1, greatest(len(toks)-4, 1)+1)) t(i)),
+hits AS (SELECT tr.doc_id, ev.doc_id AS eval_id, COUNT(*) AS n
+         FROM sh tr JOIN sh ev ON tr.ng = ev.ng
+         WHERE tr.doc_id >= 20 AND ev.doc_id < 20
+         GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_hits,
+                   COUNT(*) AS n_eval_matches
+            FROM hits GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(p.n_hits, 0) AS n_hits,
+       COALESCE(p.n_eval_matches, 0) AS n_eval_matches,
+       COALESCE(p.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) t
+LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""
+
+# As-of oracle: DuckDB's native ASOF LEFT JOIN (greatest right ts <=
+# left ts per key) — a genuinely independent implementation of the same
+# semantics; testdata has no (user_id, ts) ties on the view side (the
+# operator's tie-break is pinned separately in tests/test_asof.py).
+_ASOF_DUCK = """
+WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+views  AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS asof_ts, v.event_id AS asof_event_id, v.value AS asof_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+# Quota-sample oracle: md5-of-id rank within (lang, source) — md5 of the
+# decimal id string is engine-portable (same bytes in DuckDB and Spark),
+# so both sides rank identically with no shared code.
+_QUOTA_SAMPLE_DUCK = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 5
+"""
+
+# Vocab oracle: unnest the single-space token split, count totals and
+# distinct containing docs, min-count filter.
+_VOCAB_DUCK = """
+SELECT t.token, COUNT(*) AS n_total, COUNT(DISTINCT d.doc_id) AS n_docs
+FROM documents d, unnest(str_split(d.text, ' ')) AS t(token)
+GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
 _ANN_DUCK = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -1561,6 +1669,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_candidates": q_doc_simhash_candidates,
+    "doc_decontaminate": q_doc_decontaminate,
+    "events_asof_join": q_events_asof_join,
+    "doc_quota_sample": q_doc_quota_sample,
+    "doc_vocab": q_doc_vocab,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -1609,6 +1721,10 @@ def _oracles() -> dict[str, str]:
         "doc_minhash_lsh": _MINHASH_DUCK,
         "doc_simhash": _SIMHASH_DUCK,
         "doc_simhash_candidates": _SIMHASH_CAND_DUCK,
+        "doc_decontaminate": _DECONTAMINATE_DUCK,
+        "events_asof_join": _ASOF_DUCK,
+        "doc_quota_sample": _QUOTA_SAMPLE_DUCK,
+        "doc_vocab": _VOCAB_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

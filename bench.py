@@ -359,6 +359,11 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
             f"{s['pipeline_sec']:.1f}s/{s['us_per_turn']}µs"
             + ("" if _scaling_valid(s, low) else " INVALID(band)")
             for s in samples[c])
+    # Quiet mode: back-to-back accumulating invocations skip the BENCH.md
+    # append (the state file keeps every sample); the final invocation runs
+    # without the flag and renders the full accumulated report once.
+    if os.environ.get("SPARK_GRAFT_SCALING_QUIET"):
+        return report
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}, "

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["probabilistic_sample", "tail_sample", "log_dedup"]
+__all__ = ["probabilistic_sample", "tail_sample", "log_dedup", "quota_sample"]
 
 
 def sample_bucket(key: Column, buckets: int = 1 << 32) -> Column:
@@ -55,4 +55,38 @@ def log_dedup(
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min(ts_col).alias("first_ts"))
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_cols: str | list[str],
+    quota: int,
+    key_col: str = None,
+) -> DataFrame:
+    """Per-stratum quota sampling (training-data pipeline op): keep at
+    most ``quota`` rows per stratum (domain/language/source cap — the
+    standard corpus-balancing move before mixing).
+
+    Selection is DETERMINISTIC and cluster-size independent: rows rank
+    within their stratum by md5(key), so the same corpus always yields
+    the same sample regardless of partitioning or retries (same contract
+    as probabilistic_sample; no RNG). One window shuffle on the stratum
+    key; at 100 TB a pathological single stratum behaves like any skewed
+    windowed agg — pre-filter or salt upstream if one stratum dominates.
+
+    key_col defaults to the first stratum column if omitted — pass the
+    row's primary key for a uniform draw.
+    """
+    from pyspark.sql import Window
+
+    strata = [stratum_cols] if isinstance(stratum_cols, str) else list(stratum_cols)
+    key = key_col or strata[0]
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint"]
+__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint", "build_vocab"]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -95,4 +95,29 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> D
         wins.groupBy(*gb_cols)
         .agg(F.min("whash").alias("winnow_fp"))
         .withColumn("full_fp", F.xxhash64(F.col(text_col)))
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies (training-data
+    pipeline op): token → total count + number of documents containing
+    it, dropping tokens below ``min_count`` total occurrences — the
+    standard vocab/min-count pass before tokenizer training.
+
+    One explode + one hash aggregate; partial (map-side) aggregation
+    makes the shuffle carry only distinct (partition, token) pairs, so
+    at 100 TB the shuffle is bounded by vocabulary size × partitions,
+    not corpus size. Single-space tokenization for engine portability.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_total") >= min_count)
     )

@@ -50,3 +50,39 @@ def test_log_dedup(spark):
     assert got[("dup line", 0)] == 2  # same body within the minute collapses
     assert got[("dup line", 2)] == 1
     assert got[("other", 0)] == 1
+
+
+def test_quota_sample_caps_each_stratum(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "web") for i in range(40)],
+        "doc_id long, lang string, source string",
+    )
+    out = quota_sample(df, ["lang", "source"], quota=3, key_col="doc_id")
+    counts = {(r.lang, r.source): r.n for r in
+              out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {("en", "web"): 3, ("de", "web"): 3}
+
+
+def test_quota_sample_deterministic_across_partitionings(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "en", "web") for i in range(100)],
+        "doc_id long, lang string, source string",
+    )
+    a = {r.doc_id for r in quota_sample(df, "lang", 10, key_col="doc_id").collect()}
+    b = {r.doc_id for r in
+         quota_sample(df.repartition(13), "lang", 10, key_col="doc_id").collect()}
+    assert a == b and len(a) == 10
+
+
+def test_quota_sample_under_quota_keeps_all(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "de", "web")],
+        "doc_id long, lang string, source string",
+    )
+    assert quota_sample(df, "lang", 5, key_col="doc_id").count() == 2

@@ -54,3 +54,23 @@ def test_doc_fingerprint_robust_to_partitioning(spark):
          for r in doc_fingerprint(df.repartition(5)).collect()}
     assert a == b
     assert a[0] != a[1]
+
+
+def test_build_vocab_counts_and_min_count(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    got = {r.token: (r.n_total, r.n_docs)
+           for r in build_vocab(df, min_count=2).collect()}
+    # a: 3 occurrences in 2 docs; c: 2 in 2; b/d below min_count
+    assert got == {"a": (3, 2), "c": (2, 2)}
+
+
+def test_build_vocab_min_count_one_keeps_all(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    assert build_vocab(df, min_count=1).count() == 2
