@@ -587,6 +587,18 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_read(spark, sf_dir, "documents"), min_count=3)
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing over documents ordered by
+    doc_id (bucket = doc_id // 64, monotone, so the two-phase prefix sum
+    equals the oracle's single global cumsum)."""
+    from cardinalhq_otel_collector_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "bkt", F.floor(F.col("doc_id") / 64)
+    )
+    return pack_sequences(docs, 512, "bkt")
+
+
 def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) quota cap on the documents corpus — the
     deterministic md5-rank stratified sample."""
@@ -1227,6 +1239,19 @@ FROM documents d, unnest(str_split(d.text, ' ')) AS t(token)
 GROUP BY 1 HAVING COUNT(*) >= 3
 """
 
+# Packing oracle: plain global cumsum over doc_id order — the oracle is
+# ALLOWED the single-partition window the engine is not (oracle scale).
+_PACK_DUCK = """
+WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id
+FROM c
+"""
+
 _ANN_DUCK = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -1673,6 +1698,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "doc_quota_sample": q_doc_quota_sample,
     "doc_vocab": q_doc_vocab,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -1725,6 +1751,7 @@ def _oracles() -> dict[str, str]:
         "events_asof_join": _ASOF_DUCK,
         "doc_quota_sample": _QUOTA_SAMPLE_DUCK,
         "doc_vocab": _VOCAB_DUCK,
+        "doc_pack_sequences": _PACK_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
