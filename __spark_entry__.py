@@ -587,6 +587,13 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_read(spark, sf_dir, "documents"), min_count=3)
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
+    from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing over documents ordered by
     doc_id (bucket = doc_id // 64, monotone, so the two-phase prefix sum
@@ -1252,6 +1259,23 @@ SELECT doc_id, n_tokens, start_offset,
 FROM c
 """
 
+# TF-IDF oracle: same public formula (tf * ln(N/df_t), round 6, ties on
+# term asc) in plain window SQL.
+_TFIDF_DUCK = """
+WITH tok AS (SELECT doc_id, t.term
+             FROM documents d, unnest(str_split(d.text, ' ')) AS t(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+                  ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df_t), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS term_rank
+           FROM scored)
+SELECT doc_id, term, tf, df_t, tfidf, term_rank FROM ranked WHERE term_rank <= 3
+"""
+
 _ANN_DUCK = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -1699,6 +1723,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quota_sample": q_doc_quota_sample,
     "doc_vocab": q_doc_vocab,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -1752,6 +1777,7 @@ def _oracles() -> dict[str, str]:
         "doc_quota_sample": _QUOTA_SAMPLE_DUCK,
         "doc_vocab": _VOCAB_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
+        "doc_tfidf_topk": _TFIDF_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

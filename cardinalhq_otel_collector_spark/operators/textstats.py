@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint", "build_vocab"]
+__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint", "build_vocab", "tfidf_topk"]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -120,4 +120,43 @@ def build_vocab(
             F.countDistinct(id_col).alias("n_docs"),
         )
         .filter(F.col("n_total") >= min_count)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (training-data pipeline op:
+    keyword extraction / topic features before mixing).
+
+    tf = in-document count, idf = ln(N / df_t) with N = corpus document
+    count and df_t = documents containing the term; score = tf · idf
+    rounded to 6 places; ties break on the term ascending so results
+    are deterministic across engines.
+
+    Shape: explode → (doc, term) count → term doc-frequencies → join —
+    the doc-frequency side is vocabulary-sized, so Spark broadcasts it
+    under AQE; N arrives as a broadcast 1-row aggregate, not a driver
+    round-trip. The only corpus-sized shuffles are the two hash
+    aggregates and the per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df_t")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "tfidf", "term_rank")
     )

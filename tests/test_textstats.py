@@ -74,3 +74,34 @@ def test_build_vocab_min_count_one_keeps_all(spark):
 
     df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     assert build_vocab(df, min_count=1).count() == 2
+
+
+def test_tfidf_topk_scores_and_ranking(spark):
+    import math
+
+    from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.term): (r.tf, r.df_t, r.tfidf, r.term_rank)
+           for r in tfidf_topk(df, k=2).collect()}
+    ln = lambda x: round(x, 6)
+    # doc 1: a tf=2 df=1 → 2·ln3 ; b tf=1 df=2 → ln1.5
+    assert got[(1, "a")] == (2, 1, ln(2 * math.log(3)), 1)
+    assert got[(1, "b")] == (1, 2, ln(math.log(1.5)), 2)
+    # doc 3: only c → rank 1, tf=3 df=2
+    assert got[(3, "c")] == (3, 2, ln(3 * math.log(1.5)), 1)
+
+
+def test_tfidf_tie_breaks_on_term_asc(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q")], "doc_id long, text string",
+    )
+    # Within each doc both terms tie (same tf, same df) → term asc order.
+    rows = {(r.doc_id, r.term_rank): r.term for r in tfidf_topk(df, k=2).collect()}
+    assert rows[(1, 1)] == "x" and rows[(1, 2)] == "y"
+    assert rows[(2, 1)] == "p" and rows[(2, 2)] == "q"
