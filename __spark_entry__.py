@@ -587,6 +587,15 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_read(spark, sf_dir, "documents"), min_count=3)
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 of event value per event_type."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import group_percentiles
+
+    return group_percentiles(
+        _read(spark, sf_dir, "events"), "value", ["event_type"]
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1276,6 +1285,16 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
 SELECT doc_id, term, tf, df_t, tfidf, term_rank FROM ranked WHERE term_rank <= 3
 """
 
+# Percentile oracle: quantile_cont is the same (n-1)·p linear
+# interpolation as Spark's exact percentile aggregate.
+_PERCENTILES_DUCK = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
 _ANN_DUCK = """
 WITH idx AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -1724,6 +1743,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab": q_doc_vocab,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
+    "events_percentiles": q_events_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -1778,6 +1798,7 @@ def _oracles() -> dict[str, str]:
         "doc_vocab": _VOCAB_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,
+        "events_percentiles": _PERCENTILES_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -32,6 +32,7 @@ __all__ = [
     "aggregate_with_override",
     "split_by_flag",
     "fan_back_tags",
+    "group_percentiles",
 ]
 
 
@@ -209,4 +210,33 @@ def fan_back_tags(df: DataFrame, name_col: str = "name") -> DataFrame:
         .withColumn("dp_attrs", as_map(dp))
         .withColumn(name_col, out_name)
         .drop(*drop)
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles per group (p50/p95/p99 gauges —
+    the summary companion to the explicit-bounds histogram op).
+
+    Uses the native exact ``percentile`` aggregate (linear interpolation
+    at rank (n-1)·p — the same definition as SQL ``quantile_cont``), so
+    results are engine-portable and oracle-checkable, unlike
+    ``percentile_approx``. Exact percentiles hold the group's values;
+    at 100-TB scale that is fine for gauge-sized groups (the use case
+    here) — switch to ``percentile_approx`` when a single group's
+    cardinality itself is corpus-sized and a bounded error is
+    acceptable.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
+            f"p{round(p * 100)}"
+        )
+        for p in ps
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), *aggs
     )

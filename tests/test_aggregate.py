@@ -119,3 +119,17 @@ def test_interval_stats_null_values_ignored_in_avg(spark):
     assert row["n"] == 3
     assert row["sum_value"] == 6.0
     assert row["avg_value"] == 3.0  # 6/2, not 6/3
+
+
+def test_group_percentiles_interpolation(spark):
+    from cardinalhq_otel_collector_spark.operators.aggregate import group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)] + [("b", 10.0)],
+        "k string, value double",
+    )
+    got = {r.k: (r.n, r.p50, r.p95, r.p99)
+           for r in group_percentiles(df, "value", ["k"]).collect()}
+    # a: values 1..4 → p50 = 2.5 (linear interp), p95 = 1+3·0.95 = 3.85
+    assert got["a"] == (4, 2.5, 3.85, 3.97)
+    assert got["b"] == (1, 10.0, 10.0, 10.0)
