@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "sumo_marshal",
     "latency_histogram",
+    "events_asof_join",
+    "doc_decontaminate",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
