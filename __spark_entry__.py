@@ -587,6 +587,26 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_read(spark, sf_dir, "documents"), min_count=3)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word/bigram mass and most-frequent-token mass (one (doc, token)
+    hash aggregate + doc-local bigram window)."""
+    from cardinalhq_otel_collector_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id) —
+    pure projection, identical assignment on any cluster size."""
+    from cardinalhq_otel_collector_spark.operators.sampling import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95/p99 of event value per event_type."""
     from cardinalhq_otel_collector_spark.operators.aggregate import group_percentiles
@@ -1249,6 +1269,42 @@ SELECT doc_id, lang, source FROM (
 
 # Vocab oracle: unnest the single-space token split, count totals and
 # distinct containing docs, min-count filter.
+# Repetition oracle: token positions via list indexing over an unnested
+# 1..len range (no window function — independent of the engine's lead()
+# formulation); bigrams as positional string concat. Fractions are the
+# same exact-count divisions, bit-identical in IEEE.
+_REPETITION_DUCK = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, ws[i] AS w FROM t, unnest(range(1, len(ws)+1)) AS r(i)),
+uni AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words, MAX(c) AS top_c
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1,2) GROUP BY 1
+),
+b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM t, unnest(range(1, len(ws))) AS r(i)),
+bs AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              COUNT(DISTINCT bg) AS n_distinct_bigrams FROM b GROUP BY 1)
+SELECT uni.doc_id AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+  1 - CAST(n_distinct_words AS DOUBLE)/n_words AS dup_word_frac,
+  CAST(top_c AS DOUBLE)/n_words AS top_word_frac,
+  CASE WHEN bs.n_bigrams IS NOT NULL
+       THEN 1 - CAST(n_distinct_bigrams AS DOUBLE)/n_bigrams
+       ELSE 0.0 END AS dup_bigram_frac
+FROM uni LEFT JOIN bs ON uni.doc_id = bs.doc_id
+"""
+
+# Split-assignment oracle: the 80/10/10 cumulative thresholds frozen as
+# the 8-hex-digit literals 'cccccccc' (0.8*2^32) and 'e6666666'
+# (0.9*2^32); lowercase-hex string compare == unsigned compare.
+_SPLIT_ASSIGN_DUCK = """
+SELECT doc_id,
+  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
 _VOCAB_DUCK = """
 SELECT t.token, COUNT(*) AS n_total, COUNT(DISTINCT d.doc_id) AS n_docs
 FROM documents d, unnest(str_split(d.text, ' ')) AS t(token)
@@ -1741,6 +1797,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "doc_quota_sample": q_doc_quota_sample,
     "doc_vocab": q_doc_vocab,
+    "doc_repetition": q_doc_repetition,
+    "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "events_percentiles": q_events_percentiles,
@@ -1796,6 +1854,8 @@ def _oracles() -> dict[str, str]:
         "events_asof_join": _ASOF_DUCK,
         "doc_quota_sample": _QUOTA_SAMPLE_DUCK,
         "doc_vocab": _VOCAB_DUCK,
+        "doc_repetition": _REPETITION_DUCK,
+        "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,
         "events_percentiles": _PERCENTILES_DUCK,

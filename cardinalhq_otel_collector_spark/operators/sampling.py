@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["probabilistic_sample", "tail_sample", "log_dedup", "quota_sample"]
+__all__ = [
+    "probabilistic_sample",
+    "tail_sample",
+    "log_dedup",
+    "quota_sample",
+    "assign_split",
+]
 
 
 def sample_bucket(key: Column, buckets: int = 1 << 32) -> Column:
@@ -90,3 +96,35 @@ def quota_sample(
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment (training-data
+    pipeline op): each row lands in exactly one named split with
+    probability proportional to its weight, decided by md5(key) alone —
+    stable across cluster sizes, partitionings, retries, and reruns,
+    which is the reproducibility contract a corpus split must carry
+    (same no-RNG rule as probabilistic_sample).
+
+    The md5 prefix is compared against fixed-width lowercase-hex
+    thresholds as STRINGS, so any engine hashing the same key assigns
+    identically (no float rounding, no integer-conversion dialect).
+    Pure narrow projection: no shuffle, no UDF — free at 100 TB.
+    """
+    assert len(weights) >= 2, "need at least two splits"
+    total = sum(weights.values())
+    names = list(weights)
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")
+        cond = prefix < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(names[-1]))

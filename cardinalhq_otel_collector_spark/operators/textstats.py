@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_counts", "quality_score", "lang_id", "doc_fingerprint", "build_vocab", "tfidf_topk"]
+__all__ = [
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "build_vocab",
+    "tfidf_topk",
+    "repetition_stats",
+]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -159,4 +167,68 @@ def tfidf_topk(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "df_t", "tfidf", "term_rank")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher-rule family of
+    quality filters (duplicate-token mass, most-frequent-token mass,
+    duplicate-bigram mass) used to drop boilerplate / keyboard-mash /
+    template spam from training corpora.
+
+    Shape at scale: posexplode to (doc, pos, token) — the same fan-out
+    build_vocab already pays — then ONE hash aggregate keyed (doc,
+    token) with map-side combine, and a doc-local lead() window for
+    bigrams whose partitions are single documents (bounded by document
+    length, never corpus-sized). The final join is between two
+    doc-keyed aggregates co-partitioned by the same key.
+
+    Fractions are plain double divisions of exact counts, so an
+    independent engine computing the same counts reproduces them
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    uni = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_c"),
+    )
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        words.withColumn("w2", F.lead("w").over(doc_w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(id_col, "w", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    one = F.lit(1.0)
+    return (
+        uni.join(bigrams, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("n_distinct_words"),
+            (one - F.col("n_distinct_words") / F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+            (F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                one - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
     )

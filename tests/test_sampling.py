@@ -86,3 +86,47 @@ def test_quota_sample_under_quota_keeps_all(spark):
         "doc_id long, lang string, source string",
     )
     assert quota_sample(df, "lang", 5, key_col="doc_id").count() == 2
+
+
+def test_assign_split_deterministic_partition_and_exhaustive(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 20000).withColumn("key", F.col("id").cast("string"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in assign_split(df, "key", w).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in assign_split(df.repartition(17), "key", w).collect()
+    }
+    assert a == b  # partitioning / cluster-size independent
+    assert set(a.values()) == {"train", "val", "test"}  # exhaustive
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in w}
+    for s, target in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        assert abs(frac[s] - target) < 0.02, (s, frac[s])
+
+
+def test_assign_split_is_narrow_projection(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 100).withColumn("key", F.col("id").cast("string"))
+    out = assign_split(df, "key", {"train": 0.9, "val": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure column expression
+    assert "python" not in plan.lower()  # and no UDF
+
+
+def test_assign_split_nests_with_probabilistic_sample(spark):
+    # same md5-prefix keyspace: the 'train' 80% split is exactly the
+    # p=0.8 probabilistic sample of the same key
+    from cardinalhq_otel_collector_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 5000).withColumn("key", F.col("id").cast("string"))
+    train = {
+        r["id"]
+        for r in assign_split(df, "key", {"train": 0.8, "rest": 0.2})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    p80 = {r["id"] for r in probabilistic_sample(df, "key", 0.8).collect()}
+    assert train == p80

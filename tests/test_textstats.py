@@ -105,3 +105,26 @@ def test_tfidf_tie_breaks_on_term_asc(spark):
     rows = {(r.doc_id, r.term_rank): r.term for r in tfidf_topk(df, k=2).collect()}
     assert rows[(1, 1)] == "x" and rows[(1, 2)] == "y"
     assert rows[(2, 1)] == "p" and rows[(2, 2)] == "q"
+
+
+def test_repetition_stats_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 words, 2 distinct, top 'a'x3; bigrams: "a a","a a","a b" -> 3 total 2 distinct
+            (2, "x y z"),            # all unique
+            (3, "w"),                # single word, zero bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct_words"]) == (4, 2)
+    assert abs(r1["dup_word_frac"] - 0.5) < 1e-12
+    assert abs(r1["top_word_frac"] - 0.75) < 1e-12
+    assert abs(r1["dup_bigram_frac"] - (1 - 2 / 3)) < 1e-12
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["n_words"] == 1 and r3["dup_bigram_frac"] == 0.0
