@@ -607,6 +607,18 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the event stream: 0-based
+    per-user session index with an 8-hour gap (one shuffle on user_id;
+    integer-microsecond gap math)."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap_seconds=28800, order_cols=["event_id"]
+    ).select("event_id", "user_id", "session_idx")
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95/p99 of event value per event_type."""
     from cardinalhq_otel_collector_spark.operators.aggregate import group_percentiles
@@ -1269,6 +1281,24 @@ SELECT doc_id, lang, source FROM (
 
 # Vocab oracle: unnest the single-space token split, count totals and
 # distinct containing docs, min-count filter.
+# Sessionize oracle: lag + running-sum windows in DuckDB over the same
+# deterministic (ts, event_id) order; gap compared in integer
+# microseconds (epoch_us) exactly like the operator's unix_micros.
+_SESSIONIZE_DUCK = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+         epoch_us(ts) AS cur_us
+  FROM events),
+f AS (SELECT event_id, user_id, ts,
+        CASE WHEN prev_us IS NULL OR cur_us - prev_us > 28800000000 THEN 1 ELSE 0 END AS ns
+      FROM o)
+SELECT event_id, user_id,
+  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+FROM f
+"""
+
 # Repetition oracle: token positions via list indexing over an unnested
 # 1..len range (no window function — independent of the engine's lead()
 # formulation); bigrams as positional string concat. Fractions are the
@@ -1798,6 +1828,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quota_sample": q_doc_quota_sample,
     "doc_vocab": q_doc_vocab,
     "doc_repetition": q_doc_repetition,
+    "events_sessionize": q_events_sessionize,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -1855,6 +1886,7 @@ def _oracles() -> dict[str, str]:
         "doc_quota_sample": _QUOTA_SAMPLE_DUCK,
         "doc_vocab": _VOCAB_DUCK,
         "doc_repetition": _REPETITION_DUCK,
+        "events_sessionize": _SESSIONIZE_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

@@ -1,0 +1,54 @@
+"""Inactivity-gap sessionization (log/transcript pipeline primitive):
+split each user's (or conversation's) event stream into sessions
+wherever the gap between consecutive events exceeds a threshold — the
+batch equivalent of a session window (the streaming side of this repo
+uses Structured Streaming's built-in ``session_window`` semantics; this
+operator is the deterministic batch/backfill formulation).
+
+Shape at scale: ONE shuffle on the entity key; both the lag() and the
+running sum ride the same window partitioning, so Catalyst plans a
+single Exchange + sort. Partitions are per-entity event lists — bounded
+by entity activity, never corpus-sized. A pathological single entity
+behaves like any skewed window; salt upstream if one key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize"]
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Assign a 0-based per-entity session index; a new session starts
+    when the gap to the previous event exceeds ``gap_seconds``
+    (strictly greater — an exactly-gap-long pause stays in-session).
+
+    ``order_cols`` break timestamp ties deterministically (pass the
+    event's primary key); ordering is (ts, *order_cols) so the
+    assignment is stable across partitionings and retries.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    # integer-microsecond gap math: exact, engine-dialect-proof (no
+    # float epoch rounding)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+    cur_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_sess = F.when(
+        prev_us.isNull() | (cur_us - prev_us > F.lit(gap_seconds * 1_000_000)),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new", new_sess).withColumn(
+        out_col, (F.sum("__new").over(running) - 1).cast("int")
+    ).drop("__new")

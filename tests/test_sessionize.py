@@ -1,0 +1,53 @@
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.sessionize import sessionize
+
+
+def _df(spark):
+    rows = [
+        # user 1: events at 0s, 100s (in), 2000s (gap>1800 -> new), 2100s
+        (1, 1, datetime(2026, 1, 1, 0, 0, 0)),
+        (2, 1, datetime(2026, 1, 1, 0, 1, 40)),
+        (3, 1, datetime(2026, 1, 1, 0, 33, 20)),
+        (4, 1, datetime(2026, 1, 1, 0, 35, 0)),
+        # user 2: one event
+        (5, 2, datetime(2026, 1, 1, 12, 0, 0)),
+        # user 3: exactly-gap-long pause stays in-session (strict >)
+        (6, 3, datetime(2026, 1, 1, 0, 0, 0)),
+        (7, 3, datetime(2026, 1, 1, 0, 30, 0)),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+
+
+def test_sessionize_gap_splits_hand_computed(spark):
+    out = sessionize(
+        _df(spark), "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0}
+
+
+def test_sessionize_partitioning_independent(spark):
+    df = _df(spark)
+    a = {
+        (r["event_id"], r["session_idx"])
+        for r in sessionize(df, "user_id", "ts", 1800, ["event_id"]).collect()
+    }
+    b = {
+        (r["event_id"], r["session_idx"])
+        for r in sessionize(
+            df.repartition(7), "user_id", "ts", 1800, ["event_id"]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_sessionize_single_exchange(spark):
+    out = sessionize(_df(spark), "user_id", "ts", 1800, ["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lag and the running sum share one window partitioning: exactly one
+    # shuffle on the entity key, and no Python anywhere
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "python" not in plan.lower()
