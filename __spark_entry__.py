@@ -619,6 +619,34 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token chunks, 8-token overlap): the
+    pre-tokenization splitter; zero-shuffle narrow plan."""
+    from cardinalhq_otel_collector_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike/drop detection on densified hourly event
+    volume per event_type (the statistical stand-in for the reference's
+    isolationforestprocessor): trailing-24-bucket baseline, never
+    including the scored bucket; z NULL until 12 baseline buckets."""
+    from cardinalhq_otel_collector_spark.operators.anomaly import (
+        bucket_counts,
+        rolling_zscore,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    counts = bucket_counts(ev, ["event_type"], "ts", "hour", densify=True)
+    return rolling_zscore(
+        counts, "n", ["event_type"], "bucket_start",
+        lookback=24, min_lookback=12, threshold=3.0,
+    ).select("event_type", "bucket_start", "n", "zscore", "is_anomaly")
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95/p99 of event value per event_type."""
     from cardinalhq_otel_collector_spark.operators.aggregate import group_percentiles
@@ -1284,6 +1312,62 @@ SELECT doc_id, lang, source FROM (
 # Sessionize oracle: lag + running-sum windows in DuckDB over the same
 # deterministic (ts, event_id) order; gap compared in integer
 # microseconds (epoch_us) exactly like the operator's unix_micros.
+# Chunking oracle: same [i*stride, i*stride+chunk) token windows via
+# 1-based inclusive list slicing; integer chunk-count arithmetic
+# (// = floor div on exact ints, no float ceil).
+_CHUNK_DUCK = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+m AS (SELECT doc_id, ws, len(ws) AS n,
+        CASE WHEN len(ws) <= 32 THEN 1
+             ELSE 1 + (len(ws) - 32 + 23) // 24 END AS n_chunks
+      FROM t)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  array_to_string(ws[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+  CAST(LEAST(32, n - i*24) AS INT) AS n_tokens
+FROM m, unnest(range(0, n_chunks)) AS r(i)
+"""
+
+# Anomaly oracle: densified hourly spine per event_type
+# (generate_series over the entity's own [min,max] span), rolling
+# integer sums over ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING, and the
+# z-score derived in the SAME fixed IEEE expression tree the Spark
+# operator uses — (ss - s*s/cnt)/(cnt-1) — so the doubles are
+# bit-identical (no engine-private stddev accumulation).
+_ANOMALY_DUCK = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+sp AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL 1 HOUR)) AS bucket_start
+  FROM c GROUP BY event_type),
+d AS (
+  SELECT sp.event_type, sp.bucket_start, COALESCE(c.n, 0) AS n
+  FROM sp LEFT JOIN c
+    ON sp.event_type = c.event_type AND sp.bucket_start = c.bucket_start),
+w AS (
+  SELECT event_type, bucket_start, n,
+    COUNT(n) OVER win AS cnt,
+    SUM(n) OVER win AS s,
+    SUM(n * n) OVER win AS ss
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket_start, CAST(n AS BIGINT) AS n,
+  CASE WHEN cnt >= 12
+        AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1) > 0
+       THEN (n - CAST(s AS DOUBLE) / cnt)
+            / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1))
+  END AS zscore,
+  CASE WHEN cnt >= 12
+        AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1) > 0
+       THEN abs((n - CAST(s AS DOUBLE) / cnt)
+            / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1))) > 3.0
+  END AS is_anomaly
+FROM w
+"""
+
 _SESSIONIZE_DUCK = """
 WITH o AS (
   SELECT event_id, user_id, ts,
@@ -1829,6 +1913,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab": q_doc_vocab,
     "doc_repetition": q_doc_repetition,
     "events_sessionize": q_events_sessionize,
+    "events_anomaly": q_events_anomaly,
+    "doc_chunk": q_doc_chunk,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -1887,6 +1973,8 @@ def _oracles() -> dict[str, str]:
         "doc_vocab": _VOCAB_DUCK,
         "doc_repetition": _REPETITION_DUCK,
         "events_sessionize": _SESSIONIZE_DUCK,
+        "events_anomaly": _ANOMALY_DUCK,
+        "doc_chunk": _CHUNK_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

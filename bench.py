@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "latency_histogram",
     "events_asof_join",
     "doc_decontaminate",
+    "events_sessionize",
+    "events_anomaly",
+    "doc_chunk",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

@@ -19,6 +19,7 @@ __all__ = [
     "build_vocab",
     "tfidf_topk",
     "repetition_stats",
+    "chunk_documents",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -231,4 +232,54 @@ def repetition_stats(
             .otherwise(F.lit(0.0))
             .alias("dup_bigram_frac"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pre-tokenization
+    splitter for long documents in a training-data pipeline: chunk i
+    covers whitespace tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens of context. The last chunk may be short but
+    always contributes at least one previously-unchunked token
+    (n_chunks = 1 if n <= chunk_tokens else 1 + ceil((n - chunk_tokens)
+    / stride)).
+
+    Shape at scale: narrow plan — split + explode of per-doc chunk
+    indices + array slice; zero shuffles, output rows proportional to
+    corpus tokens / stride. Integer-only math (no float chunk counts),
+    deterministic chunk_idx.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    # integer ceil((n - chunk)/stride) without float division
+    extra = F.floor(
+        (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n <= F.lit(chunk_tokens), F.lit(1)).otherwise(1 + extra)
+    exploded = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__ws"), start + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start)
+        .cast("int")
+        .alias("n_tokens"),
     )

@@ -128,3 +128,45 @@ def test_repetition_stats_hand_computed(spark):
     assert r2["dup_word_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
     r3 = rows[3]
     assert r3["n_words"] == 1 and r3["dup_bigram_frac"] == 0.0
+
+
+def test_chunk_documents_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 1 (stride 3):
+    # n_chunks = 1 + ceil(6/3) = 3 -> [0:4), [3:7), [6:10)
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(1, toks), (2, "a b")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): ("t0 t1 t2 t3", 4),
+        (1, 1): ("t3 t4 t5 t6", 4),
+        (1, 2): ("t6 t7 t8 t9", 4),
+        (2, 0): ("a b", 2),  # short doc: one whole-doc chunk
+    }
+
+
+def test_chunk_documents_last_chunk_short_not_empty(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import chunk_documents
+
+    # 5 tokens, chunk 4, stride 3 -> chunks [0:4), [3:5) (2 tokens);
+    # a would-be chunk at 6 >= n must not exist
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_idx"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    assert rows == [(0, 4), (1, 2)]
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "python" not in plan.lower()
