@@ -619,6 +619,24 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_doc_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION over the MinHash-LSH candidate
+    pairs: transitive closure of the pair graph → per-component min-id
+    canonical; every doc gets (cluster_id, is_canonical). Oracle closes
+    the same pairs with a recursive CTE — an independent fixpoint
+    formulation of the same components."""
+    from cardinalhq_otel_collector_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        neardup_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_candidates(docs, n_hashes=2, band_size=1)
+    return neardup_dedup(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (32-token chunks, 8-token overlap): the
     pre-tokenization splitter; zero-shuffle narrow plan."""
@@ -1312,6 +1330,33 @@ SELECT doc_id, lang, source FROM (
 # Sessionize oracle: lag + running-sum windows in DuckDB over the same
 # deterministic (ts, event_id) order; gap compared in integer
 # microseconds (epoch_us) exactly like the operator's unix_micros.
+# Near-dup dedup oracle: the _MINHASH_DUCK pair CTEs verbatim, closed
+# transitively by a RECURSIVE reachability CTE (fixpoint = full
+# closure), then min reachable id per doc — an independent formulation
+# of connected components (the operator uses union-find / min-label
+# propagation). Docs outside every pair reach only themselves.
+_NEARDUP_DEDUP_DUCK = """
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s
+       FROM d, unnest(range(1, greatest(length(text) - 11, 1) + 1)) t(i)),
+sig AS (SELECT doc_id,
+               MIN(md5(concat('0|', s))) AS h0, MIN(md5(concat('1|', s))) AS h1
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, concat('b0#', h0) AS band FROM sig
+          UNION ALL SELECT doc_id, concat('b1#', h1) AS band FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+und AS (SELECT id_a AS s, id_b AS t FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(s, t) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
+SELECT s AS doc_id, MIN(t) AS cluster_id,
+       MIN(t) = s AS is_canonical
+FROM reach GROUP BY s
+"""
+
 # Chunking oracle: same [i*stride, i*stride+chunk) token windows via
 # 1-based inclusive list slicing; integer chunk-count arithmetic
 # (// = floor div on exact ints, no float ceil).
@@ -1915,6 +1960,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_anomaly": q_events_anomaly,
     "doc_chunk": q_doc_chunk,
+    "doc_neardup_dedup": q_doc_neardup_dedup,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -1975,6 +2021,7 @@ def _oracles() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_DUCK,
         "events_anomaly": _ANOMALY_DUCK,
         "doc_chunk": _CHUNK_DUCK,
+        "doc_neardup_dedup": _NEARDUP_DEDUP_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

@@ -29,6 +29,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash",
     "simhash_candidates",
+    "neardup_components",
+    "neardup_dedup",
 ]
 
 
@@ -183,4 +185,61 @@ def simhash_candidates(
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    driver_max_rows: int = 400_000,
+) -> DataFrame:
+    """Candidate pairs → (doc, cluster_id) connected-component mapping,
+    labeled by the component's min doc id. Near-dup pairs are NOT
+    transitive one-by-one (a~b, b~c does not test a~c), but dedup policy
+    treats the component as one duplicate group — the standard corpus
+    rule — so the pair graph must be closed transitively.
+
+    Reuses the size-adaptive component engine behind template
+    clustering (`fingerprint.components_from_bands`): each pair becomes
+    an edge-key "band" with two members, so a bounded pair set resolves
+    driver-side via union-find and a corpus-scale one runs distributed
+    min-label propagation, with a path-equivalence guarantee. Only docs
+    that appear in ≥1 pair are in the mapping.
+    """
+    from .fingerprint import components_from_bands
+
+    l, r = F.col(left_col), F.col(right_col)
+    edge = F.concat_ws(
+        "_", F.least(l, r).cast("string"), F.greatest(l, r).cast("string")
+    ).alias("band")
+    bands = pairs.select(l.alias("fingerprint"), edge).unionAll(
+        pairs.select(r.alias("fingerprint"), edge)
+    )
+    return components_from_bands(bands, driver_max_rows)
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    driver_max_rows: int = 400_000,
+) -> DataFrame:
+    """The actual deduplicate step: docs + candidate pairs →
+    + cluster_id (own id when unpaired) + is_canonical (keep rule: the
+    min doc id of each near-dup component survives). Filter on
+    is_canonical for the kept corpus; keep the full frame for audit.
+
+    Scale shape: the mapping is pair-graph-sized (≪ corpus) and joins
+    broadcast below the driver bound; the docs side never shuffles.
+    """
+    comp = neardup_components(
+        pairs, left_col, right_col, driver_max_rows
+    ).withColumnRenamed("fingerprint", id_col)
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )

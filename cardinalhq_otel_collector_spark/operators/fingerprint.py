@@ -43,6 +43,7 @@ __all__ = [
     "fingerprint",
     "template_bands",
     "cluster_templates",
+    "components_from_bands",
     "attach_clusters",
     "fingerprint_and_cluster",
 ]
@@ -232,7 +233,23 @@ def cluster_templates(
     independent). NULL templates pass through with NULL cluster_id.
     """
     bands = template_bands(templates, n_hashes, band_size)
-    spark = templates.sparkSession
+    mapping = components_from_bands(bands, driver_max_rows)
+    return templates.join(mapping, "fingerprint", "left")
+
+
+def components_from_bands(
+    bands: DataFrame, driver_max_rows: int = 400_000
+) -> DataFrame:
+    """Size-adaptive connected components over ANY (fingerprint, band)
+    bipartite frame → (fingerprint, cluster_id) mapping labeled by the
+    component's min fingerprint. The shared engine behind template
+    clustering (band = LSH bucket) and near-dup pair canonicalization
+    (band = edge key, dedup.neardup_components): probe the band set with
+    one HARD-bounded collect; below the bound, driver union-find (2
+    Spark jobs, broadcast mapping); above it, distributed min-label
+    propagation — the driver never holds the set. Both paths produce
+    the identical mapping (path-equivalence pytest)."""
+    spark = bands.sparkSession
     probe = bands.limit(driver_max_rows + 1).collect()
     if len(probe) <= driver_max_rows:
         # probe returned the COMPLETE band set (limit k+1 yielding ≤k rows)
@@ -242,10 +259,8 @@ def cluster_templates(
         )
         if not pairs:
             mapping = mapping.limit(0)
-        mapping = F.broadcast(mapping)
-    else:
-        mapping = _propagate_min_labels(bands).withColumnRenamed("label", "cluster_id")
-    return templates.join(mapping, "fingerprint", "left")
+        return F.broadcast(mapping)
+    return _propagate_min_labels(bands).withColumnRenamed("label", "cluster_id")
 
 
 def attach_clusters(df: DataFrame) -> DataFrame:
