@@ -2038,6 +2038,7 @@ def _oracles() -> dict[str, str]:
         "lib_template_clusters": _lib_clusters_duck(),
         "lib_streaming_pipeline": _lib_streaming_duck(),
         "lib_stateful_intervals": _lib_stateful_duck(),
+        "lib_streaming_dedup": "SELECT event_id, user_id FROM events",
     }
 
 
@@ -2247,12 +2248,56 @@ GROUP BY 1, 2
 """
 
 
+def _lib_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) made
+    fully oracle-checkable: the events table is written TWICE into the
+    stream source dir (two files → every event_id arrives twice across
+    microbatches), the dedup watermark delay exceeds the whole event-time
+    span (no state eviction), so the emitted set is exactly one row per
+    event_id — which DuckDB reproduces by just reading the events table
+    (first-arrival rows are byte-identical copies, so survivor choice
+    cannot diverge)."""
+    import os
+    import tempfile
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        streaming_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_sdedup_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    # parquet ts is TIMESTAMP_NTZ; event-time watermarks require TIMESTAMP
+    # (identical instants under the UTC-pinned session)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    for _ in range(2):
+        ev.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = streaming_dedup(stream, ["event_id"], delay="3650 days")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("event_id", "user_id")
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_marshal_sink": _lib_marshal_sink,
     "lib_template_clusters": _lib_template_clusters,
     "lib_streaming_pipeline": _lib_streaming,
     "lib_stateful_intervals": _lib_stateful,
+    "lib_streaming_dedup": _lib_streaming_dedup,
 }
 
 

@@ -37,7 +37,7 @@ from ..config import PipelineConfig
 from ..plans.pipeline import decorate, slim_facts
 from ..sources.catalog import add_time_partitions
 
-__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline"]
+__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline", "streaming_dedup"]
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -120,3 +120,25 @@ def run_streaming_pipeline(
         for q in queries:
             q.awaitTermination()
     return queries
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch log-dedup (fingerprint-keyed drop of
+    repeats): keep the FIRST arrival per key, drop any duplicate that
+    arrives within the watermark delay, and evict key state once the
+    event-time watermark passes it — so state is bounded by keys seen per
+    delay window, not by stream history (`dropDuplicatesWithinWatermark`,
+    the exactly-this-semantics Spark primitive; at-least-once upstream
+    sources become effectively-once through it).
+
+    Rows flow through in append mode as they arrive — emission is not
+    deferred to window close, so dedup adds no latency beyond the state
+    lookup.
+    """
+    out = stream.withWatermark(ts_col, delay)
+    return out.dropDuplicatesWithinWatermark(keys)

@@ -68,3 +68,41 @@ def test_streaming_restart_is_exactly_once(spark, tmp_path):
     run_streaming_pipeline(spark, src, out, watermark="1 minute")
     n2 = spark.read.parquet(routed_dir).count()
     assert n1 == n2 == df.count()
+
+
+def test_streaming_dedup_drops_repeats_keeps_first(spark, tmp_path):
+    """Two identical files of keyed rows stream through
+    dropDuplicatesWithinWatermark with a span-covering delay: each key
+    must be emitted exactly once."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, datetime(2026, 1, 1) + timedelta(minutes=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    for _ in range(2):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    (
+        streaming_dedup(stream, ["k"], delay="30 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))
