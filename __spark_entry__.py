@@ -619,6 +619,26 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text canonicalization: lowercase, URL/email strip,
+    whitespace collapse, trim — pure narrow projection."""
+    from cardinalhq_otel_collector_spark.operators.textstats import normalize_text
+
+    return normalize_text(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm"
+    )
+
+
+def q_doc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (min bigram count 5): all-integer counts
+    into one fixed IEEE ln() tree; (pmi desc, w1, w2) unique ordering."""
+    from cardinalhq_otel_collector_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(
+        _read(spark, sf_dir, "documents"), k=20, min_count=5
+    )
+
+
 def q_doc_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup DECISION over the MinHash-LSH candidate
     pairs: transitive closure of the pair graph → per-component min-id
@@ -1330,6 +1350,41 @@ SELECT doc_id, lang, source FROM (
 # Sessionize oracle: lag + running-sum windows in DuckDB over the same
 # deterministic (ts, event_id) order; gap compared in integer
 # microseconds (epoch_us) exactly like the operator's unix_micros.
+# Normalization oracle: the same lowercase → url → email → collapse →
+# trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
+# global by default). Patterns are character-class-only, so the Java
+# and RE2 dialects agree byte-for-byte.
+_NORMALIZE_DUCK = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+    'https?://[^ ]+', ' ', 'g'),
+    '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+    '  +', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+# PMI oracle: positional bigrams via list indexing (no window), the
+# SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
+# the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
+_PMI_DUCK = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM t, unnest(range(1, len(ws))) r(i)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+uni AS (SELECT w, COUNT(*) AS c FROM (
+          SELECT w1 AS w FROM b UNION ALL SELECT w2 FROM b) GROUP BY 1),
+n AS (SELECT COUNT(*) AS nn FROM b)
+SELECT c12.w1 AS w1, c12.w2 AS w2, CAST(c12.c12 AS BIGINT) AS c12,
+  ln(CAST(c12.c12 AS DOUBLE) * n.nn / (u1.c * u2.c)) AS pmi
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN n
+WHERE c12.c12 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
 # Near-dup dedup oracle: the _MINHASH_DUCK pair CTEs verbatim, closed
 # transitively by a RECURSIVE reachability CTE (fixpoint = full
 # closure), then min reachable id per doc — an independent formulation
@@ -1961,6 +2016,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "doc_chunk": q_doc_chunk,
     "doc_neardup_dedup": q_doc_neardup_dedup,
+    "doc_normalize": q_doc_normalize,
+    "doc_pmi": q_doc_pmi,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -2022,6 +2079,8 @@ def _oracles() -> dict[str, str]:
         "events_anomaly": _ANOMALY_DUCK,
         "doc_chunk": _CHUNK_DUCK,
         "doc_neardup_dedup": _NEARDUP_DEDUP_DUCK,
+        "doc_normalize": _NORMALIZE_DUCK,
+        "doc_pmi": _PMI_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

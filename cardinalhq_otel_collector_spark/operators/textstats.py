@@ -8,7 +8,7 @@ real tokenizer isn't available on the cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -20,6 +20,8 @@ __all__ = [
     "tfidf_topk",
     "repetition_stats",
     "chunk_documents",
+    "normalize_text",
+    "pmi_collocations",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -282,4 +284,83 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("__n") - start)
         .cast("int")
         .alias("n_tokens"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Canonicalize text before dedup/fingerprinting (the standard
+    pre-dedup normalizer: near-dup recall improves when case, URLs,
+    addresses, and whitespace runs stop differentiating copies):
+    lowercase → URLs/emails replaced by a space → whitespace runs
+    collapsed → trimmed. Pure narrow projection; the regexes are
+    dialect-portable (character classes only — no lookarounds, no \\b),
+    so an independent engine applying the same chain is byte-identical.
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"https?://[^ ]+", " ")
+    t = F.regexp_replace(t, r"[a-z0-9._%+-]+@[a-z0-9.-]+", " ")
+    t = F.regexp_replace(t, r"  +", " ")
+    return df.withColumn(out_col, F.trim(t))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-statistics pass for multiword expressions (phrase tables,
+    tokenizer merges): pmi(w1,w2) = ln(c12 · N / (c1 · c2)) over
+    adjacent-token bigrams, N = total bigram count, with a min bigram
+    count floor to kill singleton noise.
+
+    Determinism: every input to the pmi expression is an exact integer
+    count, and pmi is ONE fixed IEEE tree — identical doubles in any
+    engine. Ties (and the global ordering) break on (pmi desc, w1, w2),
+    so the top-k set is unique.
+
+    Shape at scale: one (doc,pos,token) fan-out → doc-local lead()
+    bigrams (partitions bounded by doc length) → two vocabulary-sized
+    hash aggs; unigram counts join back onto the bigram table
+    (vocabulary-sized, AQE broadcasts); top-k is a TakeOrdered, never a
+    full global sort.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        words.withColumn("w2", F.lead("w").over(doc_w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = big.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("c12").cast("double") * F.col("__n") / (F.col("c1") * F.col("c2"))
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c12", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
     )

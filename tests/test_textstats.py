@@ -170,3 +170,49 @@ def test_chunk_documents_zero_shuffle_plan(spark):
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "python" not in plan.lower()
+
+
+def test_normalize_text_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Visit https://X.io/a?b=1 NOW"),
+            (2, "mail Bob.s+1@Ex.COM   twice  "),
+            (3, "plain"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert got == {1: "visit now", 2: "mail twice", 3: "plain"}
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from math import log
+
+    from cardinalhq_otel_collector_spark.operators.textstats import pmi_collocations
+
+    # corpus: "a b" x3 and "a c" x1 -> bigrams: (a,b)x3, (a,c)x1; N=4
+    # unigram occurrences in bigrams: a=4, b=3, c=1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")], ["doc_id", "text"]
+    )
+    rows = pmi_collocations(df, k=10, min_count=1).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"]) for r in rows}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")][0] == 3
+    assert abs(got[("a", "b")][1] - log(3 * 4 / (4 * 3))) < 1e-12  # = 0
+    assert abs(got[("a", "c")][1] - log(1 * 4 / (4 * 1))) < 1e-12  # = 0
+    # ordering: pmi tie (both 0) breaks on w1, w2 -> (a,b) first
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
+
+
+def test_pmi_topk_is_take_ordered_not_global_sort(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    out = pmi_collocations(df, k=5, min_count=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "python" not in plan.lower()
