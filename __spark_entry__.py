@@ -619,6 +619,26 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rate limiter: first 10 events per (event_type, day),
+    deterministic (ts, event_id) order — the batch token bucket."""
+    from cardinalhq_otel_collector_spark.operators.sampling import rate_limit
+
+    return rate_limit(
+        _read(spark, sf_dir, "events"), ["event_type"], "ts", "day",
+        max_per_window=10, order_cols=["event_id"],
+    ).select("event_id", "event_type")
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 users per event_type by event count (unique ties)."""
+    from cardinalhq_otel_collector_spark.operators.sampling import heavy_hitters
+
+    return heavy_hitters(
+        _read(spark, sf_dir, "events"), ["event_type"], "user_id", k=3
+    )
+
+
 def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-dedup text canonicalization: lowercase, URL/email strip,
     whitespace collapse, trim — pure narrow projection."""
@@ -1350,6 +1370,27 @@ SELECT doc_id, lang, source FROM (
 # Sessionize oracle: lag + running-sum windows in DuckDB over the same
 # deterministic (ts, event_id) order; gap compared in integer
 # microseconds (epoch_us) exactly like the operator's unix_micros.
+# Rate-limit oracle: identical row_number frame and deterministic
+# (ts, event_id) order; keeps the first 10 per (event_type, day).
+_RATE_LIMIT_DUCK = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+    row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 10
+"""
+
+# Heavy-hitters oracle: count + rank with the identical unique tie rule
+# (count desc, value asc).
+_HEAVY_HITTERS_DUCK = """
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rn AS INT) AS rank
+FROM (
+  SELECT event_type, user_id, COUNT(*) AS n,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC) AS rn
+  FROM events GROUP BY 1, 2) WHERE rn <= 3
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2018,6 +2059,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_neardup_dedup": q_doc_neardup_dedup,
     "doc_normalize": q_doc_normalize,
     "doc_pmi": q_doc_pmi,
+    "events_rate_limit": q_events_rate_limit,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -2081,6 +2124,8 @@ def _oracles() -> dict[str, str]:
         "doc_neardup_dedup": _NEARDUP_DEDUP_DUCK,
         "doc_normalize": _NORMALIZE_DUCK,
         "doc_pmi": _PMI_DUCK,
+        "events_rate_limit": _RATE_LIMIT_DUCK,
+        "events_heavy_hitters": _HEAVY_HITTERS_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_anomaly",
     "doc_chunk",
+    "doc_neardup_dedup",
+    "doc_pmi",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

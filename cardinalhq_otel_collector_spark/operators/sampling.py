@@ -21,6 +21,8 @@ __all__ = [
     "log_dedup",
     "quota_sample",
     "assign_split",
+    "rate_limit",
+    "heavy_hitters",
 ]
 
 
@@ -128,3 +130,62 @@ def assign_split(
         cond = prefix < F.lit(thr)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise(names[-1]))
+
+
+def rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    window: str = "hour",
+    max_per_window: int = 100,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Windowed rate limiter — the batch/backfill form of a per-key
+    token bucket (log pipelines throttle chatty emitters per interval):
+    keep the FIRST ``max_per_window`` rows per (key, time-bucket),
+    ordered by event time (``order_cols`` break ties deterministically,
+    so the kept set is stable across partitionings and retries).
+
+    One shuffle on (keys, bucket); window partitions are bounded by a
+    single key's per-bucket volume — a pathologically hot key is the
+    same skew story as any window op, salting does not apply because
+    rank is inherently per-key-sequential.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc(window, F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*key_cols, bucket).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_window)
+        .drop("__rn")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k most frequent values per group (per-sink top error
+    templates, per-tenant top endpoints, ...): count → per-group rank →
+    filter. Ties break on the value ascending, so the result is unique.
+
+    Two hash aggregates worth of shuffle, both with map-side partial
+    combine — the shuffled rows are (group, value) distinct pairs, not
+    input rows; the rank window runs over group-sized partitions.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -130,3 +130,37 @@ def test_assign_split_nests_with_probabilistic_sample(spark):
     }
     p80 = {r["id"] for r in probabilistic_sample(df, "key", 0.8).collect()}
     assert train == p80
+
+
+def test_rate_limit_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from cardinalhq_otel_collector_spark.operators.sampling import rate_limit
+
+    # key A hour 0 ordered by (ts, id): id2(0:01), id3(0:01), id1(0:05),
+    # id4(0:50) -> limit 2 keeps ids 2,3; hour 1 id5 kept; key B id6 kept
+    rows = [
+        (1, "A", datetime(2026, 1, 1, 0, 5)),
+        (2, "A", datetime(2026, 1, 1, 0, 1)),
+        (3, "A", datetime(2026, 1, 1, 0, 1)),   # tie with 2 -> id breaks it
+        (4, "A", datetime(2026, 1, 1, 0, 50)),
+        (5, "A", datetime(2026, 1, 1, 1, 0)),
+        (6, "B", datetime(2026, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts"])
+    out = rate_limit(df, ["key"], "ts", "hour", 2, order_cols=["event_id"])
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3, 5, 6]
+
+
+def test_heavy_hitters_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import heavy_hitters
+
+    rows = (
+        [("g1", "x")] * 3 + [("g1", "y")] * 3 + [("g1", "z")] * 1
+        + [("g2", "q")] * 2
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["rank"]): (r["v"], r["n"])
+           for r in heavy_hitters(df, ["g"], "v", k=2).collect()}
+    # tie between x and y (3 each) -> value asc: x first
+    assert out == {("g1", 1): ("x", 3), ("g1", 2): ("y", 3), ("g2", 1): ("q", 2)}
