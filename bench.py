@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "doc_chunk",
     "doc_neardup_dedup",
     "doc_pmi",
+    "events_rate_limit",
+    "events_heavy_hitters",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
