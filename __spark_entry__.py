@@ -1416,7 +1416,7 @@ uni AS (SELECT w, COUNT(*) AS c FROM (
           SELECT w1 AS w FROM b UNION ALL SELECT w2 FROM b) GROUP BY 1),
 n AS (SELECT COUNT(*) AS nn FROM b)
 SELECT c12.w1 AS w1, c12.w2 AS w2, CAST(c12.c12 AS BIGINT) AS c12,
-  ln(CAST(c12.c12 AS DOUBLE) * n.nn / (u1.c * u2.c)) AS pmi
+  round(ln(CAST(c12.c12 AS DOUBLE) * n.nn / (u1.c * u2.c)), 6) AS pmi
 FROM c12
 JOIN uni u1 ON u1.w = c12.w1
 JOIN uni u2 ON u2.w = c12.w2

@@ -319,9 +319,11 @@ def pmi_collocations(
     count floor to kill singleton noise.
 
     Determinism: every input to the pmi expression is an exact integer
-    count, and pmi is ONE fixed IEEE tree — identical doubles in any
-    engine. Ties (and the global ordering) break on (pmi desc, w1, w2),
-    so the top-k set is unique.
+    count; the multiply/divide tree is IEEE-exact, and the one
+    transcendental (ln — correctly-rounded in no stdlib, engines may
+    differ by 1 ulp) is rounded to 6 places, the same discipline as
+    tfidf_topk. Ties (and the global ordering) break on (rounded pmi
+    desc, w1, w2), so the top-k set is unique and engine-independent.
 
     Shape at scale: one (doc,pos,token) fan-out → doc-local lead()
     bigrams (partitions bounded by doc length) → two vocabulary-sized
@@ -354,8 +356,12 @@ def pmi_collocations(
         .crossJoin(F.broadcast(n))
         .withColumn(
             "pmi",
-            F.log(
-                F.col("c12").cast("double") * F.col("__n") / (F.col("c1") * F.col("c2"))
+            F.round(
+                F.log(
+                    F.col("c12").cast("double") * F.col("__n")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
             ),
         )
     )
