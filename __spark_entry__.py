@@ -619,6 +619,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_idx")
 
 
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (count, span, exact integer-µs duration) on
+    top of the 8-hour-gap sessionization."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import session_stats
+
+    return session_stats(
+        _read(spark, sf_dir, "events"), "user_id", "ts",
+        gap_seconds=28800, order_cols=["event_id"],
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: distinct users per (first-active week,
+    week offset) — exact integer analytics end to end."""
+    from cardinalhq_otel_collector_spark.operators.retention import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
 def q_events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed rate limiter: first 10 events per (event_type, day),
     deterministic (ts, event_id) order — the batch token bucket."""
@@ -1370,6 +1389,40 @@ SELECT doc_id, lang, source FROM (
 # Sessionize oracle: lag + running-sum windows in DuckDB over the same
 # deterministic (ts, event_id) order; gap compared in integer
 # microseconds (epoch_us) exactly like the operator's unix_micros.
+# Session-stats oracle: the sessionize lag+running-sum CTEs composed
+# with a per-(user, session) rollup; duration as exact epoch_us ints.
+_SESSION_STATS_DUCK = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+         epoch_us(ts) AS cur_us
+  FROM events),
+f AS (SELECT event_id, user_id, ts,
+        CASE WHEN prev_us IS NULL OR cur_us - prev_us > 28800000000 THEN 1 ELSE 0 END AS ns
+      FROM o),
+s AS (SELECT user_id, ts,
+        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+      FROM f)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+# Retention oracle: ISO-Monday week buckets (date_trunc('week') in both
+# engines), integer day-difference floor-division offsets, distinct-user
+# counts — all exact integers.
+_RETENTION_DUCK = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+c AS (SELECT user_id, MIN(w) AS cohort_week FROM a GROUP BY 1)
+SELECT cohort_week,
+  CAST((a.w::DATE - c.cohort_week::DATE) // 7 AS INT) AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
 # Rate-limit oracle: identical row_number frame and deterministic
 # (ts, event_id) order; keeps the first 10 per (event_type, day).
 _RATE_LIMIT_DUCK = """
@@ -2061,6 +2114,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pmi": q_doc_pmi,
     "events_rate_limit": q_events_rate_limit,
     "events_heavy_hitters": q_events_heavy_hitters,
+    "events_session_stats": q_events_session_stats,
+    "events_retention": q_events_retention,
     "doc_split_assign": q_doc_split_assign,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -2126,6 +2181,8 @@ def _oracles() -> dict[str, str]:
         "doc_pmi": _PMI_DUCK,
         "events_rate_limit": _RATE_LIMIT_DUCK,
         "events_heavy_hitters": _HEAVY_HITTERS_DUCK,
+        "events_session_stats": _SESSION_STATS_DUCK,
+        "events_retention": _RETENTION_DUCK,
         "doc_split_assign": _SPLIT_ASSIGN_DUCK,
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,

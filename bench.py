@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "doc_pmi",
     "events_rate_limit",
     "events_heavy_hitters",
+    "events_session_stats",
+    "events_retention",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

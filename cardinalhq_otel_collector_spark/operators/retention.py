@@ -1,0 +1,51 @@
+"""Cohort retention — the standard activity-over-time rollup for an
+event/transcript stream: bucket each user into the cohort of their
+first-ever active week, then count distinct users per (cohort, week
+offset). week 0 row = cohort size; retention curves divide offsets by
+it downstream.
+
+Exact integer analytics end to end (week buckets are ISO-Monday
+date_trunc in every engine; offsets are day-difference floor-division
+by 7), so an independent engine reproduces every count bit-for-bit.
+
+Shape at scale: two hash aggregates over (user, week) — both with
+map-side combine, shuffles carry distinct pairs — and one join of the
+activity pairs against the per-user cohort (user-cardinality side;
+AQE broadcasts when it fits, shuffle-join on user otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cohort_retention"]
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): distinct active users per
+    weekly offset from their cohort (first active) week."""
+    week = F.date_trunc("week", F.col(ts_col)).alias("w")
+    activity = df.select(F.col(user_col), week).distinct()
+    cohorts = activity.groupBy(user_col).agg(F.min("w").alias("cohort_week"))
+    return (
+        activity.join(cohorts, user_col)
+        .withColumn(
+            "week_offset",
+            F.floor(
+                F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            ).cast("int"),
+        )
+        .groupBy(
+            # DATE-typed cohort: a weekly bucket has no sub-day content,
+            # and engines disagree on date_trunc('week') return types
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "session_stats"]
 
 
 def sessionize(
@@ -52,3 +52,27 @@ def sessionize(
     return df.withColumn("__new", new_sess).withColumn(
         out_col, (F.sum("__new").over(running) - 1).cast("int")
     ).drop("__new")
+
+
+def session_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session rollup on top of :func:`sessionize`: event count,
+    start/end, and exact integer-microsecond duration per (entity,
+    session). The groupBy keys on (entity, session_idx) — already
+    co-partitioned with the sessionize window's entity shuffle, so the
+    rollup adds a partial-agg + the one existing Exchange, and session
+    counts are bounded by entity activity, never corpus-sized.
+    """
+    sess = sessionize(df, entity_col, ts_col, gap_seconds, order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return sess.groupBy(entity_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

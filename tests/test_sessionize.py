@@ -51,3 +51,23 @@ def test_sessionize_single_exchange(spark):
     # shuffle on the entity key, and no Python anywhere
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "python" not in plan.lower()
+
+
+def test_session_stats_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.sessionize import session_stats
+
+    out = session_stats(
+        _df(spark), "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
+        for r in out.collect()
+    }
+    # user 1: session 0 = events 1,2 (span 100s); session 1 = events 3,4 (100s)
+    # user 2: single event (0s); user 3: both events (1800s span)
+    assert got == {
+        (1, 0): (2, 100_000_000),
+        (1, 1): (2, 100_000_000),
+        (2, 0): (1, 0),
+        (3, 0): (2, 1_800_000_000),
+    }
