@@ -733,6 +733,71 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed time-range join: for every 'error' event, count the same
+    user's events in the strictly-preceding 10 minutes. The operator
+    blocks on (user_id, 600s-bucket) — a plain hash equi-join — instead
+    of Catalyst's inequality-as-post-filter plan; the oracle states the
+    naive range predicate directly."""
+    from cardinalhq_otel_collector_spark.operators.rangejoin import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join(
+        errors, ev, on="ts", by="user_id", lower=-600, upper=0,
+        left_cols=["event_id", "ts"], right_cols=["event_id", "value"],
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_preceding"),
+        F.min("r_event_id").alias("first_event_id"),
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user within 7 days of
+    the first view (chained running-min windows over ONE shuffle; the
+    oracle is the equivalent chain of argmin CTE joins)."""
+    from cardinalhq_otel_collector_spark.operators.funnel import funnel
+
+    return funnel(
+        _read(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        by="user_id", step_col="event_type",
+        within_seconds=7 * 86400,
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + conditional probabilities
+    over each user's (ts, event_id)-ordered event stream."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import transition_counts
+
+    return transition_counts(
+        _read(spark, sf_dir, "events"),
+        entity_col="user_id", state_col="event_type",
+        order_cols=["event_id"],
+    )
+
+
+def q_part_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs (Levenshtein distance 1) across the part-name
+    vocabulary via SymSpell deletion-neighborhood blocking; the oracle is
+    the naive all-pairs levenshtein join on the identical vocab."""
+    from cardinalhq_otel_collector_spark.operators.dedup import edit_distance_pairs
+
+    words = (
+        _read(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,12}$"))
+        .distinct()
+    )
+    return edit_distance_pairs(words, col="w").withColumn(
+        "dist", F.levenshtein("a", "b").cast("int")
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1444,6 +1509,71 @@ FROM (
   FROM events GROUP BY 1, 2) WHERE rn <= 3
 """
 
+# Range-join oracle: the NAIVE inequality join the bucketed operator
+# must equal — integer-microsecond bounds (epoch_us) exactly like the
+# operator's unix_micros arithmetic; [ts-600s, ts) half-open.
+_RANGE_JOIN_DUCK = """
+SELECT l.event_id, l.user_id, COUNT(*) AS n_preceding,
+       MIN(r.event_id) AS first_event_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
+ AND epoch_us(r.ts) <  epoch_us(l.ts)
+WHERE l.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+# Funnel oracle: the chain of argmin CTEs — earliest view, earliest
+# click strictly after it, earliest purchase strictly after that, every
+# later step within 7 days of the first view (deadline in exact integer
+# microseconds, matching the operator's unix_micros comparison).
+_FUNNEL_DUCK = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS step1_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS step2_ts
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+         AND epoch_us(e.ts) <= epoch_us(s1.step1_ts) + 604800000000
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS step3_ts
+       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+         AND epoch_us(e.ts) <= epoch_us(s1.step1_ts) + 604800000000
+       GROUP BY 1)
+SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+       CAST(1 + (s2.step2_ts IS NOT NULL)::INT
+              + (s3.step3_ts IS NOT NULL)::INT AS INT) AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+# Transitions oracle: lag over the identical (ts, event_id) per-user
+# order; probability is the exact int/int double division, so the
+# doubles are bit-identical across engines.
+_TRANSITIONS_DUCK = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events)
+SELECT from_state, to_state, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_state) AS DOUBLE)
+         AS prob
+FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2
+"""
+
+# Edit-distance oracle: naive all-pairs levenshtein on the identical
+# part-name vocabulary — the exact small-N check behind the operator's
+# deletion-neighborhood blocking (same pattern as doc_ngram_jaccard
+# behind the MinHash LSH).
+_EDIT_DISTANCE_DUCK = """
+WITH w AS (SELECT DISTINCT token AS w
+           FROM part p, unnest(str_split(p.p_name, ' ')) AS t(token)
+           WHERE regexp_full_match(token, '[a-z]{2,12}'))
+SELECT a.w AS a, b.w AS b, CAST(levenshtein(a.w, b.w) AS INT) AS dist
+FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2120,6 +2250,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "events_percentiles": q_events_percentiles,
+    "events_range_join": q_events_range_join,
+    "events_funnel": q_events_funnel,
+    "events_transitions": q_events_transitions,
+    "part_edit_distance": q_part_edit_distance,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2187,6 +2321,10 @@ def _oracles() -> dict[str, str]:
         "doc_pack_sequences": _PACK_DUCK,
         "doc_tfidf_topk": _TFIDF_DUCK,
         "events_percentiles": _PERCENTILES_DUCK,
+        "events_range_join": _RANGE_JOIN_DUCK,
+        "events_funnel": _FUNNEL_DUCK,
+        "events_transitions": _TRANSITIONS_DUCK,
+        "part_edit_distance": _EDIT_DISTANCE_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

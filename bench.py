@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "events_heavy_hitters",
     "events_session_stats",
     "events_retention",
+    "events_range_join",
+    "events_funnel",
+    "events_transitions",
+    "part_edit_distance",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

@@ -31,6 +31,7 @@ __all__ = [
     "simhash_candidates",
     "neardup_components",
     "neardup_dedup",
+    "edit_distance_pairs",
 ]
 
 
@@ -242,4 +243,79 @@ def neardup_dedup(
         docs.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All DISTINCT string pairs within Levenshtein distance 1 —
+    SymSpell-style deletion-neighborhood blocking instead of all-pairs.
+
+    Two strings are within edit distance 1 iff they share a member of
+    their deletion neighborhoods {s} ∪ {s minus one char}: equality
+    (d=0, excluded here), del(a)=b (insertion/deletion), or
+    del(a)=del(b) at the right position (substitution). So:
+
+      1. explode each string to its ≤ len+1 neighborhood variants
+         (built with built-in ``transform``/``sequence`` — JVM-side, no
+         Python);
+      2. self equi-join on the variant — the blocking step: candidates
+         are strings sharing any variant, O(Σ len) join keys, never the
+         O(n²) cross product;
+      3. the deletion-share test overshoots — deletions at DIFFERENT
+         positions can coincide on strings at distance 2 (e.g. "xab"
+         and "abx" share the variant "ab" but d=2) — so candidates are
+         VERIFIED with the built-in ``levenshtein`` before emission.
+
+    Output: (a, b) with a < b lexicographically, plus ids when
+    ``id_col`` is given. At corpus scale the join shuffles on the
+    variant string; hot variants (very common short words) behave like
+    any skewed equi-join — AQE's skew-join splitting applies.
+
+    Only ``max_dist=1`` is supported: the deletion-neighborhood
+    guarantee "d(a,b)<=1 ⇒ neighborhoods intersect" is specific to one
+    deletion; deeper distances need the full SymSpell recursive delete
+    sets.
+    """
+    if max_dist != 1:
+        raise ValueError("only max_dist=1 is supported (single-deletion blocking)")
+    keep = [col] + ([id_col] if id_col else [])
+    base = df.select(*keep).dropDuplicates([col])
+    # deletion position 0 = the string itself, i>=1 = drop char i; plain
+    # explode + substring expressions (no higher-order-function lambdas —
+    # see BENCH.md on HOF capture under projection collapse)
+    variants = base.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.length(col)))
+    ).withColumn(
+        "__v",
+        F.when(F.col("__i") == 0, F.col(col)).otherwise(
+            F.concat(
+                F.substring(F.col(col), F.lit(1), F.col("__i") - 1),
+                F.substring(F.col(col), F.col("__i") + 1, F.length(col)),
+            )
+        ),
+    ).drop("__i")
+    right = variants.select(
+        F.col("__v"),
+        F.col(col).alias("b"),
+        *([F.col(id_col).alias(f"{id_col}_b")] if id_col else []),
+    )
+    left = variants.select(
+        F.col("__v"),
+        F.col(col).alias("a"),
+        *([F.col(id_col).alias(f"{id_col}_a")] if id_col else []),
+    )
+    out_cols = ["a", "b"] + (
+        [f"{id_col}_a", f"{id_col}_b"] if id_col else []
+    )
+    return (
+        left.join(right, "__v")
+        .filter(F.col("a") < F.col("b"))
+        .select(*out_cols)
+        .dropDuplicates(["a", "b"])
+        .filter(F.levenshtein("a", "b") <= max_dist)
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "transition_counts"]
 
 
 def sessionize(
@@ -75,4 +75,44 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (F.max(us) - F.min(us)).alias("duration_us"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences (user-journey analysis): for each consecutive pair of
+    events within an entity's (ts, tiebreak)-ordered stream, count the
+    (from_state, to_state) transition and attach the conditional
+    probability P(to|from).
+
+    Shape at scale: the lag() window shuffles once on the entity key;
+    the (from, to) count is a states^2-sized hash agg (map-side
+    combinable), and the per-from total is derived from the counts
+    themselves by a second tiny agg + broadcast-sized join — the raw
+    events are scanned exactly once. The probability is an exact
+    int/int double division, bit-identical across engines.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("from_state"), F.col(state_col).alias("to_state"))
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .withColumn(
+            "prob", F.col("n").cast("double") / F.col("__tot").cast("double")
+        )
+        .drop("__tot")
     )

@@ -66,3 +66,59 @@ def test_dedup_on_testdata_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = exact_dedup(docs)
     assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_edit_distance_pairs_blocking_equals_truth(spark):
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    words = [
+        "color", "colour", "colr", "xab", "abx", "zzz", "aa", "a",
+        "hash", "dash", "dashs", "hush",
+    ]
+    df = spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                               "w string, wid long")
+    got = {(r.a, r.b) for r in edit_distance_pairs(df, col="w").collect()}
+    # ground truth: all-pairs levenshtein on the driver
+    import itertools
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(
+                    m[j] + 1, m[j - 1] + 1, prev + (ca != cb)
+                )
+        return m[len(b)]
+
+    truth = {
+        tuple(sorted((x, y)))
+        for x, y in itertools.combinations(set(words), 2)
+        if lev(x, y) <= 1
+    }
+    assert got == truth
+    # sanity: the d=2 deletion-share false positive was filtered
+    assert ("abx", "xab") not in got
+    # duplicate input strings collapse before pairing
+    dup = spark.createDataFrame([("aa", 1), ("aa", 2), ("ab", 3)],
+                                "w string, wid long")
+    pairs = edit_distance_pairs(dup, col="w").collect()
+    assert [(p.a, p.b) for p in pairs] == [("aa", "ab")]
+
+
+def test_edit_distance_pairs_ids_and_maxdist_guard(spark):
+    import pytest
+
+    from cardinalhq_otel_collector_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame([("cat", 1), ("cut", 2)], "w string, wid long")
+    rows = edit_distance_pairs(df, col="w", id_col="wid").collect()
+    assert len(rows) == 1 and rows[0].wid_a == 1 and rows[0].wid_b == 2
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, col="w", max_dist=2)

@@ -71,3 +71,60 @@ def test_session_stats_hand_computed(spark):
         (2, 0): (1, 0),
         (3, 0): (2, 1_800_000_000),
     }
+
+
+def test_transition_counts_basic(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sessionize import (
+        transition_counts,
+    )
+
+    T = dt.datetime.fromisoformat
+    df = spark.createDataFrame(
+        [
+            (1, 10, T("2024-01-01 00:00:00"), "a"),
+            (2, 10, T("2024-01-01 00:01:00"), "b"),
+            (3, 10, T("2024-01-01 00:02:00"), "a"),
+            (4, 11, T("2024-01-01 00:00:00"), "a"),
+            (5, 11, T("2024-01-01 00:01:00"), "b"),
+            # tied timestamps order by event_id: 6 then 7 → c->d
+            (6, 12, T("2024-01-01 00:00:00"), "c"),
+            (7, 12, T("2024-01-01 00:00:00"), "d"),
+        ],
+        "event_id long, user_id long, ts timestamp, state string",
+    )
+    got = {
+        (r.from_state, r.to_state): (r.n, r.prob)
+        for r in transition_counts(
+            df, entity_col="user_id", state_col="state",
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert got[("c", "d")] == (1, 1.0)
+    assert ("d", "c") not in got
+    # probabilities per from_state sum to 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+def test_transition_counts_single_event_entity_emits_nothing(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sessionize import (
+        transition_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1), "a")],
+        "event_id long, user_id long, ts timestamp, state string",
+    )
+    assert transition_counts(
+        df, entity_col="user_id", state_col="state", order_cols=["event_id"]
+    ).count() == 0
