@@ -798,6 +798,55 @@ def q_part_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-minute per-user event count + floor-value sum as of
+    every event (RANGE-frame window over integer-microsecond epoch; the
+    oracle is DuckDB's RANGE frame over the same ordering — ANSI peers
+    semantics, so tied timestamps need no tiebreak)."""
+    from cardinalhq_otel_collector_spark.operators.sliding import sliding_window_agg
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = sliding_window_agg(
+        ev, by="user_id", window_seconds=600,
+        aggs={
+            "n_window": F.count(F.lit(1)),
+            "sum_floor_value": F.sum(F.floor(F.col("value")).cast("long")),
+        },
+    )
+    return out.select("event_id", "user_id", "n_window", "sum_floor_value")
+
+
+def q_events_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts + exact cumulative distinct users via the
+    first-event reduction (no cumulative-distinct state)."""
+    from cardinalhq_otel_collector_spark.operators.retention import new_user_curve
+
+    return new_user_curve(_read(spark, sf_dir, "events"))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type crosstab with an EXPLICIT category list (one
+    two-phase hash agg; no pivot-discovery pass, schema not
+    data-dependent)."""
+    from cardinalhq_otel_collector_spark.operators.grouping import pivot_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    return pivot_counts(
+        ev, "day", "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+    )
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats, 6-place
+    rounded; all ln arguments exact integers)."""
+    from cardinalhq_otel_collector_spark.operators.textstats import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1574,6 +1623,60 @@ SELECT a.w AS a, b.w AS b, CAST(levenshtein(a.w, b.w) AS INT) AS dist
 FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
 """
 
+# Sliding-window oracle: DuckDB RANGE frame over the identical
+# epoch_us ordering — both engines implement ANSI RANGE peers, so tied
+# timestamps agree without a tiebreak; floor(value) kept exact by
+# casting to BIGINT before the sum.
+_SLIDING_WINDOW_DUCK = """
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_window,
+  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sum_floor_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+# New-user curve oracle: first-event reduction + prefix sum over the
+# day-bucket frame — exact integers end to end.
+_NEW_USERS_DUCK = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+b AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS bucket,
+             COUNT(*) AS n_new
+      FROM f GROUP BY 1)
+SELECT bucket, n_new,
+  CAST(SUM(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_users
+FROM b
+"""
+
+# Pivot oracle: explicit FILTER columns — the same fixed category list
+# as the Spark side, counts 0-filled by COUNT semantics.
+_PIVOT_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+# Entropy oracle: identical algebraic form — integer counts into ln,
+# one 6-place rounding of the final double (pmi_collocations
+# discipline).
+_ENTROPY_DUCK = """
+WITH c AS (SELECT doc_id, token AS w, COUNT(*) AS c
+           FROM documents d, unnest(str_split(d.text, ' ')) AS t(token)
+           GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+      FROM c GROUP BY 1)
+SELECT doc_id, n_tokens,
+  ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 6)
+    AS entropy
+FROM a
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2254,6 +2357,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_transitions": q_events_transitions,
     "part_edit_distance": q_part_edit_distance,
+    "events_sliding_window": q_events_sliding_window,
+    "events_new_users": q_events_new_users,
+    "events_pivot": q_events_pivot,
+    "doc_entropy": q_doc_entropy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2325,6 +2432,10 @@ def _oracles() -> dict[str, str]:
         "events_funnel": _FUNNEL_DUCK,
         "events_transitions": _TRANSITIONS_DUCK,
         "part_edit_distance": _EDIT_DISTANCE_DUCK,
+        "events_sliding_window": _SLIDING_WINDOW_DUCK,
+        "events_new_users": _NEW_USERS_DUCK,
+        "events_pivot": _PIVOT_DUCK,
+        "doc_entropy": _ENTROPY_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_transitions",
     "part_edit_distance",
+    "events_sliding_window",
+    "events_new_users",
+    "doc_entropy",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["assemble_ordered", "group_by_attrs"]
+__all__ = ["assemble_ordered", "group_by_attrs", "pivot_counts"]
 
 
 def assemble_ordered(
@@ -45,3 +45,28 @@ def group_by_attrs(df: DataFrame, keys: list[str], num_partitions: int | None = 
     key columns (a repartition, so downstream per-key work is local)."""
     cols = [F.col(k) for k in keys]
     return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key,
+    pivot_col: str,
+    categories: list[str],
+) -> DataFrame:
+    """Crosstab: one output row per ``row_key`` value, one BIGINT count
+    column per ``categories`` entry (0-filled, never null).
+
+    ``categories`` is REQUIRED, not inferred: an inferred pivot runs an
+    extra distinct-collect job over the corpus and makes the output
+    schema data-dependent — at 100 TB both are bugs, not conveniences.
+    With explicit categories this is one hash aggregate (map-side
+    combinable conditional counts), no pivot-discovery pass, and the
+    plan is a plain two-phase agg.
+    """
+    keys = [row_key] if isinstance(row_key, str) else list(row_key)
+    return df.groupBy(*keys).agg(
+        *[
+            F.count(F.when(F.col(pivot_col) == c, 1)).alias(c)
+            for c in categories
+        ]
+    )

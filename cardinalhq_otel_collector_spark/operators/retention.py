@@ -16,10 +16,10 @@ AQE broadcasts when it fits, shuffle-join on user otherwise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_retention"]
+__all__ = ["cohort_retention", "new_user_curve"]
 
 
 def cohort_retention(
@@ -49,3 +49,30 @@ def cohort_retention(
         )
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def new_user_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Growth curve: per time bucket, the number of FIRST-seen users and
+    the running total of distinct users ever seen (exact cumulative
+    uniques without cumulative-distinct state).
+
+    The trick: cumulative-distinct over time is an O(users) state
+    problem stated naively, but "first event per user" reduces it to a
+    plain count — a user contributes to exactly one bucket (their min
+    ts), so the cumulative distinct count is the prefix sum of new-user
+    counts. Shapes: one per-user min agg (map-side combinable), one
+    bucket-level count, and a prefix-sum window over the tiny
+    bucket-count frame (single partition is fine — rows = number of
+    buckets, not users).
+    """
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    per_bucket = first.groupBy(
+        F.date_trunc(granularity, F.col("__first_ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.withColumn("cum_users", F.sum("n_new").over(w))

@@ -22,6 +22,7 @@ __all__ = [
     "chunk_documents",
     "normalize_text",
     "pmi_collocations",
+    "token_entropy",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -369,4 +370,44 @@ def pmi_collocations(
         scored.select("w1", "w2", "c12", "pmi")
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's token distribution — a
+    diversity quality signal (near-zero entropy = the degenerate
+    repeated-token documents that survive length/punctuation filters;
+    see repetition_stats for the Gopher-style mass variants).
+
+    H = ln(L) - (1/L)·Σ c_i·ln(c_i) over per-doc token counts c_i,
+    L = Σ c_i — the algebraic form that keeps every ln argument an
+    exact integer. Determinism discipline matches pmi_collocations:
+    integer counts in, one rounding of the final double to 6 places.
+
+    Shape at scale: one token fan-out → (doc, token) hash agg →
+    per-doc sum — partial aggregation everywhere, partitions bounded
+    by document length, no windows, no joins.
+    """
+    counts = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__len"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("__clnc"),
+        )
+        .select(
+            id_col,
+            F.col("__len").alias("n_tokens"),
+            F.round(
+                F.log(F.col("__len").cast("double"))
+                - F.col("__clnc") / F.col("__len").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
     )

@@ -62,3 +62,42 @@ def test_authcache_enrich_is_broadcast(spark):
     plan = _plan(cache.enrich(rows, now=1.0))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pivot_counts_zero_fill_and_fixed_schema(spark):
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.grouping import pivot_counts
+
+    df = spark.createDataFrame(
+        [("d1", "x"), ("d1", "x"), ("d2", "y")], "day string, t string"
+    )
+    out = pivot_counts(df, "day", "t", ["x", "y", "z"])
+    # schema is the category list, independent of the data
+    assert out.columns == ["day", "x", "y", "z"]
+    rows = {r.day: (r.x, r.y, r.z) for r in out.collect()}
+    assert rows == {"d1": (2, 0, 0), "d2": (0, 1, 0)}
+    # composite row key
+    out2 = pivot_counts(
+        df.withColumn("g", F.lit(1)), ["g", "day"], "t", ["x"]
+    )
+    assert out2.columns == ["g", "day", "x"]
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from cardinalhq_otel_collector_spark.operators.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),             # degenerate → 0
+            (2, "a b c d"),             # uniform over 4 → ln(4)
+            (3, "a a b"),               # H = ln3 - (2 ln2)/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in token_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, round(math.log(4), 6))
+    assert got[3] == (3, round(math.log(3) - 2 * math.log(2) / 3, 6))

@@ -26,3 +26,34 @@ def test_cohort_retention_hand_computed(spark):
         ("2026-01-05", 3): 1,
         ("2026-01-12", 0): 1,
     }
+
+
+def test_new_user_curve_hand_computed(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.retention import (
+        new_user_curve,
+    )
+
+    T = dt.datetime.fromisoformat
+    df = spark.createDataFrame(
+        [
+            (10, T("2024-01-01 08:00:00")),
+            (10, T("2024-01-03 08:00:00")),  # returning, not new
+            (11, T("2024-01-01 23:59:59")),
+            (12, T("2024-01-03 00:00:00")),
+            (13, T("2024-01-05 12:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        r.bucket: (r.n_new, r.cum_users)
+        for r in new_user_curve(df).collect()
+    }
+    assert rows == {
+        T("2024-01-01 00:00:00"): (2, 2),
+        T("2024-01-03 00:00:00"): (1, 3),
+        T("2024-01-05 00:00:00"): (1, 4),
+    }
+    # no bucket for days without first-seen users (sparse, not densified)
+    assert len(rows) == 3
