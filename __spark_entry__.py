@@ -847,6 +847,41 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_events_json_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON attribute extraction from the props column (explicit
+    schema, vectorized from_json — no inference scan, no Python)."""
+    from cardinalhq_otel_collector_spark.operators.parse import parse_json_attrs
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    return parse_json_attrs(ev, "props", {"k": "int"}).select("event_id", "k")
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-gap summary in exact integer microseconds
+    (mean = exact int-sum / int-count division)."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(
+        _read(spark, sf_dir, "events"),
+        entity_col="user_id", order_cols=["event_id"],
+    )
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample — keep probability
+    min(1, 0.5·n_chars/2000), decided by the Knuth multiplicative hash
+    of doc_id (exact integer arithmetic both engines)."""
+    from cardinalhq_otel_collector_spark.operators.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, key_col="doc_id", weight_col="n_chars",
+        rate=0.5, weight_scale=2000.0,
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1677,6 +1712,39 @@ SELECT doc_id, n_tokens,
 FROM a
 """
 
+# JSON-attrs oracle: DuckDB json_extract_string + typed cast — NULL on
+# missing/mistyped, matching from_json PERMISSIVE semantics.
+_JSON_ATTRS_DUCK = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+# Inter-arrival oracle: lag over the identical (ts, event_id) order in
+# integer epoch microseconds; mean as the SAME exact int/int double
+# division (never AVG, whose internal accumulation is engine-defined).
+_INTERARRIVAL_DUCK = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE) AS mean_gap_us
+FROM g GROUP BY 1
+"""
+
+# Weighted-sample oracle: identical Knuth multiplicative hash (exact
+# BIGINT arithmetic) and the identical single-rounded double threshold
+# expression 0.5 * 2^32 / 2000.
+_WEIGHTED_SAMPLE_DUCK = """
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < least(floor(CAST(n_chars AS DOUBLE) * (0.5 * 4294967296.0 / 2000.0)),
+              4294967296.0)
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2361,6 +2429,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_new_users": q_events_new_users,
     "events_pivot": q_events_pivot,
     "doc_entropy": q_doc_entropy,
+    "events_json_attrs": q_events_json_attrs,
+    "events_interarrival": q_events_interarrival,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2436,6 +2507,9 @@ def _oracles() -> dict[str, str]:
         "events_new_users": _NEW_USERS_DUCK,
         "events_pivot": _PIVOT_DUCK,
         "doc_entropy": _ENTROPY_DUCK,
+        "events_json_attrs": _JSON_ATTRS_DUCK,
+        "events_interarrival": _INTERARRIVAL_DUCK,
+        "doc_weighted_sample": _WEIGHTED_SAMPLE_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
@@ -2449,6 +2523,27 @@ def _oracles() -> dict[str, str]:
         "lib_streaming_pipeline": _lib_streaming_duck(),
         "lib_stateful_intervals": _lib_stateful_duck(),
         "lib_streaming_dedup": "SELECT event_id, user_id FROM events",
+        # session_window merges touching windows: only a gap STRICTLY
+        # greater than the gap parameter splits (same rule as batch
+        # sessionize) — pinned by test_streaming_sessions_gap_boundary
+        "lib_streaming_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us,
+         epoch_us(ts) AS cur_us
+  FROM events),
+f AS (SELECT user_id, ts, event_id,
+        CASE WHEN prev_us IS NULL OR cur_us - prev_us > 28800000000
+             THEN 1 ELSE 0 END AS ns
+      FROM o),
+s AS (SELECT user_id, ts,
+        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
     }
 
 
@@ -2701,6 +2796,69 @@ def _lib_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("event_id", "user_id")
 
 
+def _lib_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window sessionization made fully
+    oracle-checkable with the sentinel-watermark harness (same trick as
+    lib_stateful_intervals): microbatch 1 is the real events table,
+    microbatch 2 a single sentinel row years later — the watermark then
+    sits past every real session end, so ALL real sessions are emitted
+    on close. The sentinel's own (never-closed) session is filtered by
+    its user_id. DuckDB reproduces the emitted set with a gap
+    sessionization CTE; session_window merges windows that TOUCH, so
+    the split rule is strictly-greater-than-gap — the same boundary as
+    batch sessionize (pinned empirically in test_streaming.py)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        streaming_sessions,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_ssess_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sentinel = spark.createDataFrame(
+        [(int(-1), int(-1), datetime.datetime(2100, 1, 1))],
+        schema=ev.schema,
+    )
+    # file-source microbatch order follows mtime (maxFilesPerTrigger=1):
+    # real data first, the watermark-advancing sentinel strictly after
+    now = _t.time()
+    for j, frame in enumerate((ev, sentinel)):
+        tmp = os.path.join(base, f"w{j}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{j:02d}-batch.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + 40 * j, now - 100 + 40 * j))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = streaming_sessions(
+        stream, ["user_id"], gap="8 hours", watermark="0 seconds"
+    )
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_marshal_sink": _lib_marshal_sink,
@@ -2708,6 +2866,7 @@ _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_streaming_pipeline": _lib_streaming,
     "lib_stateful_intervals": _lib_stateful,
     "lib_streaming_dedup": _lib_streaming_dedup,
+    "lib_streaming_sessions": _lib_streaming_sessions,
 }
 
 

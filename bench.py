@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "events_new_users",
     "doc_entropy",
+    "events_json_attrs",
+    "events_interarrival",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

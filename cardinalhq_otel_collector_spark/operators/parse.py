@@ -22,7 +22,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_keyvalue", "compile_grok", "parse_grok", "GROK_PATTERNS"]
+__all__ = ["parse_keyvalue", "compile_grok", "parse_grok", "parse_json_attrs", "GROK_PATTERNS"]
 
 # Minimal public grok pattern library (subset of the logstash-patterns set,
 # re-expressed as Java-compatible regexes).
@@ -115,3 +115,30 @@ def parse_grok(
         raw = F.nullif(F.regexp_extract(F.col(text_col), regex, idx), F.lit(""))
         out = out.withColumn(prefix + field, raw if typ == "string" else raw.cast(typ))
     return out
+
+
+def parse_json_attrs(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    prefix: str = "",
+) -> DataFrame:
+    """Typed attribute extraction from a JSON-string column (the
+    structured-attributes half of the reference's parsing processors;
+    transform/attributesprocessor semantics for log bodies carrying
+    JSON — cf. parse_keyvalue for the grok/kv half).
+
+    fields: JSON field name → Spark DDL type ("int", "string", ...).
+    One vectorized ``from_json`` with an EXPLICIT struct schema (never
+    schema inference, which would add a corpus scan and make the output
+    schema data-dependent) + a flattening projection; malformed JSON or
+    missing/mistyped fields yield NULLs (PERMISSIVE mode), matching
+    collector behavior of passing telemetry through rather than
+    failing a batch. JVM-side end to end — no Python on the hot path.
+    """
+    schema_ddl = ", ".join(f"`{k}` {t}" for k, t in fields.items())
+    parsed = df.withColumn("__j", F.from_json(F.col(json_col), schema_ddl))
+    out = df.columns + [
+        F.col(f"__j.{k}").alias(f"{prefix}{k}") for k in fields
+    ]
+    return parsed.select(*out)

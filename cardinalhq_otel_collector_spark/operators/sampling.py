@@ -23,6 +23,7 @@ __all__ = [
     "assign_split",
     "rate_limit",
     "heavy_hitters",
+    "weighted_sample",
 ]
 
 
@@ -189,3 +190,38 @@ def heavy_hitters(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    weight_scale: float,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample (training-data pipeline
+    op: e.g. keep long documents proportionally more often): each row is
+    kept with probability ``min(1, rate · weight / weight_scale)``,
+    decided by a hash of its key alone — the same no-RNG reproducibility
+    contract as probabilistic_sample / assign_split.
+
+    Engine-portable determinism without floats in the uniform: the
+    uniform is the low 32 bits of the Knuth/Fibonacci multiplicative
+    hash ``key · 2654435761 mod 2^32`` (exact BIGINT arithmetic in any
+    engine — for 2^32/φ the low product bits ARE the fractional part of
+    key/φ, uniform in [0, 2^32)), and the per-row threshold is
+    ``floor(weight · c)`` for the single precomputed double
+    ``c = rate·2^32/weight_scale`` — one multiply of the same two
+    doubles on every engine, identically rounded, then an integer
+    compare. Numeric keys only; for string keys take a numeric hash
+    first (md5-prefix via conv where the engine supports it).
+
+    Pure narrow projection: no shuffle, no UDF — free at 100 TB.
+    """
+    c = rate * float(1 << 32) / weight_scale
+    u = F.pmod(F.col(key_col).cast("bigint") * F.lit(2654435761), F.lit(1 << 32))
+    thr = F.least(
+        F.floor(F.col(weight_col).cast("double") * F.lit(c)),
+        F.lit(float(1 << 32)),
+    )
+    return df.filter(u < thr)

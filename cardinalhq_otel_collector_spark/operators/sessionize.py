@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "transition_counts"]
+__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats"]
 
 
 def sessionize(
@@ -115,4 +115,34 @@ def transition_counts(
             "prob", F.col("n").cast("double") / F.col("__tot").cast("double")
         )
         .drop("__tot")
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-entity inter-arrival-time summary (cadence profiling: bot
+    detection, polling-interval discovery, SLO heartbeat checks): gap
+    count and min/max/mean gap over consecutive events in the
+    (ts, tiebreak)-ordered stream, in exact integer microseconds
+    (mean = exact int-sum / int-count double division).
+
+    One lag window + one hash agg on the window's own partitioning —
+    single Exchange, same scale shape as sessionize. Entities with a
+    single event carry NULL gap stats (0 gaps), not a fabricated zero.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    cur = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = cur - F.lag(cur).over(w)
+    g = df.withColumn("__gap", gap)
+    return g.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap").alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        (F.sum("__gap").cast("double") / F.count("__gap").cast("double")).alias("mean_gap_us"),
     )

@@ -37,7 +37,7 @@ from ..config import PipelineConfig
 from ..plans.pipeline import decorate, slim_facts
 from ..sources.catalog import add_time_partitions
 
-__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline", "streaming_dedup"]
+__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline", "streaming_dedup", "streaming_sessions"]
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -142,3 +142,39 @@ def streaming_dedup(
     """
     out = stream.withWatermark(ts_col, delay)
     return out.dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    entity_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "8 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming inactivity-gap sessionization — Structured Streaming's
+    native ``session_window`` (the streaming twin of the batch
+    ``operators/sessionize``; dynamic-gap merge handled by the engine's
+    session-state store, emitted on window close once the event-time
+    watermark passes the session end).
+
+    Boundary semantics MATCH the batch operator: session windows merge
+    when they touch, so an event arriving EXACTLY ``gap`` after the
+    previous one still joins the session (verified empirically in
+    test_streaming.py — only a gap STRICTLY greater than ``gap``
+    splits, the same rule as batch sessionize's ``>``).
+
+    Output: entity cols + session_start (= min event ts), n_events.
+    State is bounded by open sessions per key (closed sessions are
+    evicted at watermark), the property that makes this viable on an
+    unbounded 10^12-turn stream.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *entity_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *entity_cols,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

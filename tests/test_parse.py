@@ -52,3 +52,30 @@ def test_parse_on_generated_transcripts(transcripts_df):
     assert grok_rows.filter(F.col("parsed_code").isNull()).count() == 0
     non_grok = out.filter(~F.col("text").startswith("level="))
     assert non_grok.filter(F.col("parsed_level").isNotNull()).count() == 0
+
+
+def test_parse_json_attrs_typed_and_permissive(spark):
+    from cardinalhq_otel_collector_spark.operators.parse import parse_json_attrs
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "x"}'),
+            (2, '{"s": "only"}'),        # missing field -> NULL
+            (3, '{"k": "notanint"}'),    # mistyped -> NULL
+            (4, 'not json at all'),      # malformed -> NULL
+            (5, None),                   # NULL passthrough
+        ],
+        "event_id long, props string",
+    )
+    out = parse_json_attrs(df, "props", {"k": "int", "s": "string"})
+    rows = {r.event_id: (r.k, r.s) for r in out.collect()}
+    assert rows == {
+        1: (7, "x"),
+        2: (None, "only"),
+        3: (None, None),
+        4: (None, None),
+        5: (None, None),
+    }
+    # prefix and column order
+    out2 = parse_json_attrs(df, "props", {"k": "int"}, prefix="p_")
+    assert out2.columns == ["event_id", "props", "p_k"]

@@ -164,3 +164,22 @@ def test_heavy_hitters_hand_computed(spark):
            for r in heavy_hitters(df, ["g"], "v", k=2).collect()}
     # tie between x and y (3 each) -> value asc: x first
     assert out == {("g1", 1): ("x", 3), ("g1", 2): ("y", 3), ("g2", 1): ("q", 2)}
+
+
+def test_weighted_sample_determinism_and_clamps(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate([0, 100, 1000, 4000] * 50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    kept = weighted_sample(df, "doc_id", "n_chars", rate=0.5, weight_scale=2000.0)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # deterministic: second run identical
+    assert ids == sorted(r.doc_id for r in kept.collect())
+    by_w = {}
+    for r in df.collect():
+        by_w.setdefault(r.n_chars, []).append(r.doc_id in set(ids))
+    # weight 0 → probability 0; weight 4000 → clamped to 1
+    assert not any(by_w[0])
+    assert all(by_w[4000])
+    # monotone-ish: heavier weights keep more (50 draws per weight)
+    assert sum(by_w[1000]) > sum(by_w[100])

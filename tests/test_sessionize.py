@@ -128,3 +128,30 @@ def test_transition_counts_single_event_entity_emits_nothing(spark):
     assert transition_counts(
         df, entity_col="user_id", state_col="state", order_cols=["event_id"]
     ).count() == 0
+
+
+def test_interarrival_stats_hand_computed(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sessionize import (
+        interarrival_stats,
+    )
+
+    T = dt.datetime.fromisoformat
+    df = spark.createDataFrame(
+        [
+            (1, 10, T("2024-01-01 00:00:00")),
+            (2, 10, T("2024-01-01 00:00:10")),
+            (3, 10, T("2024-01-01 00:01:10")),
+            (4, 11, T("2024-01-01 00:00:00")),  # single event → null gaps
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = {
+        r.user_id: (r.n_events, r.n_gaps, r.min_gap_us, r.max_gap_us, r.mean_gap_us)
+        for r in interarrival_stats(
+            df, entity_col="user_id", order_cols=["event_id"]
+        ).collect()
+    }
+    assert rows[10] == (3, 2, 10_000_000, 60_000_000, 35_000_000.0)
+    assert rows[11] == (1, 0, None, None, None)

@@ -106,3 +106,62 @@ def test_streaming_dedup_drops_repeats_keeps_first(spark, tmp_path):
     )
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == list(range(20))
+
+
+def test_streaming_sessions_gap_boundary(spark, tmp_path):
+    """session_window twin: exactly-gap spacing MERGES (touching
+    intervals coalesce) — same boundary rule as batch sessionize's
+    strict-> split, verified empirically here."""
+    import datetime as dt
+    import os
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        streaming_sessions,
+    )
+
+    T = dt.datetime.fromisoformat
+    rows = [
+        (1, 10, T("2024-01-01 00:00:00")),
+        (2, 10, T("2024-01-01 00:30:00")),   # same session (30m < 1h)
+        (3, 10, T("2024-01-01 01:30:00")),   # EXACTLY 1h later → still merges
+        (4, 11, T("2024-01-01 05:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    sentinel = spark.createDataFrame(
+        [(-1, -1, T("2100-01-01 00:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    src = str(tmp_path / "src"); os.makedirs(src)
+    now = _t.time()
+    for j, frame in enumerate((ev, sentinel)):
+        tmp = str(tmp_path / f"w{j}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{j:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + 40 * j,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    (
+        streaming_sessions(stream, ["user_id"], gap="1 hour", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {
+        (10, T("2024-01-01 00:00:00")): 3,
+        (11, T("2024-01-01 05:00:00")): 1,
+    }
