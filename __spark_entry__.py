@@ -882,6 +882,63 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alert rules (rules-as-data, broadcast NL join by
+    design) over hourly per-type event counts."""
+    from cardinalhq_otel_collector_spark.operators.alerts import (
+        evaluate_threshold_rules,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    aggs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rules = spark.createDataFrame(
+        [("r1", "error", ">", 3.0), ("r2", None, ">=", 8.0)],
+        "rule_id string, key string, op string, threshold double",
+    )
+    return evaluate_threshold_rules(
+        aggs, rules, key_col="event_type", value_col="n"
+    )
+
+
+def q_events_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-3 decimation per user in deterministic
+    (ts, event_id) order, first event always kept."""
+    from cardinalhq_otel_collector_spark.operators.sampling import decimate
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return decimate(ev, ["user_id"], n=3, order_cols=["event_id"]).select(
+        "event_id", "user_id"
+    )
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event-type journeys (lead-window path
+    mining; unique (n desc, path asc) tie rule)."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import path_mining
+
+    return path_mining(
+        _read(spark, sf_dir, "events"),
+        entity_col="user_id", state_col="event_type",
+        order_cols=["event_id"], depth=3, k=10,
+    )
+
+
+def q_doc_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document-frequency boilerplate pruning at token
+    granularity: tokens in more than 78% of all documents are removed
+    (the corpus DF distribution is bimodal around that point),
+    survivors re-assembled in original order."""
+    from cardinalhq_otel_collector_spark.operators.textstats import (
+        remove_high_df_tokens,
+    )
+
+    return remove_high_df_tokens(
+        _read(spark, sf_dir, "documents"), max_df_ratio=0.78
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1745,6 +1802,71 @@ WHERE (doc_id * 2654435761) % 4294967296
               4294967296.0)
 """
 
+# Alerts oracle: the same rules as literal VALUES, NULL-wildcard OR
+# join, CASE over the operator — counts kept integer, threshold double.
+_ALERTS_DUCK = """
+WITH a AS (SELECT event_type,
+                  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+r(rule_id, key, op, threshold) AS (
+  VALUES ('r1', 'error', '>', CAST(3.0 AS DOUBLE)),
+         ('r2', CAST(NULL AS VARCHAR), '>=', CAST(8.0 AS DOUBLE)))
+SELECT a.event_type, a.bucket_start, a.n, r.rule_id, r.op, r.threshold
+FROM a JOIN r ON (r.key IS NULL OR r.key = a.event_type)
+WHERE CASE r.op
+        WHEN '>'  THEN CAST(a.n AS DOUBLE) >  r.threshold
+        WHEN '>=' THEN CAST(a.n AS DOUBLE) >= r.threshold
+        ELSE FALSE END
+"""
+
+# Decimation oracle: identical row_number frame and (ts, event_id)
+# order, keep rows at positions 0, 3, 6, ...
+_DECIMATE_DUCK = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE (rn - 1) % 3 = 0
+"""
+
+# Path-mining oracle: two lead()s over the identical per-user order,
+# full-depth windows only, unique (n desc, path asc) tie rule.
+_PATHS_DUCK = """
+WITH p AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT s0 || '>' || s1 || '>' || s2 AS path, COUNT(*) AS n
+      FROM p WHERE s2 IS NOT NULL GROUP BY 1)
+SELECT path, n, CAST(rn AS INT) AS rank FROM (
+  SELECT path, n,
+    row_number() OVER (ORDER BY n DESC, path ASC) AS rn
+  FROM c) WHERE rn <= 10
+"""
+
+# Boilerplate oracle: DF counts over unnest+generate_subscripts
+# positions, the identical <=-ratio keep rule (one double multiply),
+# string_agg ORDER BY pos reconstruction (skips the NULL drops),
+# COALESCE for all-removed documents.
+_BOILERPLATE_DUCK = """
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+      FROM base),
+dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM documents),
+k AS (SELECT w.doc_id, w.w, w.pos,
+        CAST(ndocs AS DOUBLE) <= CAST(total AS DOUBLE) * 0.78 AS keep
+      FROM w JOIN dfq USING (w) CROSS JOIN tot)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '')
+    AS text_filtered,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM k GROUP BY 1
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2432,6 +2554,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_attrs": q_events_json_attrs,
     "events_interarrival": q_events_interarrival,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "events_alerts": q_events_alerts,
+    "events_decimate": q_events_decimate,
+    "events_paths": q_events_paths,
+    "doc_remove_boilerplate": q_doc_remove_boilerplate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2510,6 +2636,10 @@ def _oracles() -> dict[str, str]:
         "events_json_attrs": _JSON_ATTRS_DUCK,
         "events_interarrival": _INTERARRIVAL_DUCK,
         "doc_weighted_sample": _WEIGHTED_SAMPLE_DUCK,
+        "events_alerts": _ALERTS_DUCK,
+        "events_decimate": _DECIMATE_DUCK,
+        "events_paths": _PATHS_DUCK,
+        "doc_remove_boilerplate": _BOILERPLATE_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

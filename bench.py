@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "doc_entropy",
     "events_json_attrs",
     "events_interarrival",
+    "events_paths",
+    "doc_remove_boilerplate",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

@@ -24,6 +24,7 @@ __all__ = [
     "rate_limit",
     "heavy_hitters",
     "weighted_sample",
+    "decimate",
 ]
 
 
@@ -225,3 +226,32 @@ def weighted_sample(
         F.lit(float(1 << 32)),
     )
     return df.filter(u < thr)
+
+
+def decimate(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Systematic decimation: keep every n-th event per key in
+    deterministic (ts, tiebreak) order, ALWAYS including the first —
+    the time-series downsampling a telemetry sink applies to
+    high-frequency gauges (distinct from probabilistic_sample: hash
+    sampling keeps a random-looking subset, decimation keeps a
+    uniform-cadence one, which is what plots and rate estimates want).
+
+    One shuffle on the key (row_number window); kept set is stable
+    across retries/partitionings because the order carries a total
+    tiebreak.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % n == 0)
+        .drop("__rn")
+    )

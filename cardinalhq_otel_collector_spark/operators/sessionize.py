@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats"]
+__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining"]
 
 
 def sessionize(
@@ -145,4 +145,47 @@ def interarrival_stats(
         F.min("__gap").alias("min_gap_us"),
         F.max("__gap").alias("max_gap_us"),
         (F.sum("__gap").cast("double") / F.count("__gap").cast("double")).alias("mean_gap_us"),
+    )
+
+
+def path_mining(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    depth: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most common length-``depth`` event paths (user-journey
+    mining, the sequence generalization of transition_counts): slide a
+    window of ``depth`` consecutive states over each entity's ordered
+    stream, count each exact path, rank globally.
+
+    ``depth-1`` lead() columns share ONE window partitioning (single
+    Exchange+Sort), the count is a paths-cardinality hash agg, and the
+    global top-k is a TakeOrdered (rank via a single ORDER BY over the
+    path-count frame, never the event frame). Ties break on the path
+    string ascending so the top-k set is unique and engine-independent.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    steps = [F.col(state_col).alias("__s0")] + [
+        F.lead(state_col, i).over(w).alias(f"__s{i}") for i in range(1, depth)
+    ]
+    paths = (
+        df.select(*steps)
+        # the farthest lead NULL ⇔ fewer than `depth` rows remain; nearer
+        # leads are then non-null automatically, so no truncated path can
+        # collide with a genuine shorter one under concat_ws's null-skip
+        .filter(F.col(f"__s{depth - 1}").isNotNull())
+        .select(
+            F.concat_ws(">", *[F.col(f"__s{i}") for i in range(depth)]).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -23,6 +23,7 @@ __all__ = [
     "normalize_text",
     "pmi_collocations",
     "token_entropy",
+    "remove_high_df_tokens",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -409,5 +410,65 @@ def token_entropy(
                 - F.col("__clnc") / F.col("__len").cast("double"),
                 6,
             ).alias("entropy"),
+        )
+    )
+
+
+def remove_high_df_tokens(
+    df: DataFrame,
+    max_df_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate pruning by document frequency — the C4-style "drop
+    units that appear in too many documents" pass, at token granularity
+    (this corpus has no line structure; swap the unit by splitting on
+    newlines instead of spaces and the algorithm is line-level C4
+    boilerplate/dedup removal verbatim).
+
+    Any token present in MORE than ``max_df_ratio`` of all documents is
+    removed everywhere; each document's surviving tokens are
+    re-assembled in original order. Output: id, text_filtered,
+    n_kept / n_removed counts.
+
+    Shape at scale: one posexplode fan-out scanned twice is avoided —
+    the DF table is vocabulary-sized (one hash agg of distinct
+    (token, doc) pairs), broadcast back onto the positions (AQE
+    broadcasts vocab-sized sides), and reconstruction is the
+    deterministic array_sort(collect_list(struct)) used across this
+    repo (assemble_ordered), partitions bounded by document length.
+    The total-docs denominator is a 1-row broadcast cross join, exact
+    integers compared via n_docs · 1 > ratio · total (no per-row
+    division drift: one identically-rounded double multiply).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    dfreq = words.groupBy("w").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    flagged = words.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(total))
+    kept = flagged.withColumn(
+        "__keep",
+        F.col("__ndocs").cast("double")
+        <= F.col("__total").cast("double") * F.lit(float(max_df_ratio)),
+    )
+    s = F.struct(F.col("pos"), F.col("w"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("__keep"), s))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("text_filtered"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
         )
     )

@@ -101,3 +101,30 @@ def test_token_entropy_hand_computed(spark):
     assert got[1] == (4, 0.0)
     assert got[2] == (4, round(math.log(4), 6))
     assert got[3] == (3, round(math.log(3) - 2 * math.log(2) / 3, 6))
+
+
+def test_remove_high_df_tokens_hand_computed(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import (
+        remove_high_df_tokens,
+    )
+
+    # 4 docs; 'the' in 4/4 (df 1.0), 'cat' in 2/4, 'dog' in 1/4
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat the"),
+            (2, "the cat"),
+            (3, "the dog"),
+            (4, "the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_filtered, r.n_kept, r.n_removed)
+        for r in remove_high_df_tokens(df, max_df_ratio=0.5).collect()
+    }
+    # 'the' (df 1.0) removed everywhere; order of survivors preserved
+    assert out[1] == ("cat sat", 2, 2)
+    assert out[2] == ("cat", 1, 1)
+    assert out[3] == ("dog", 1, 1)
+    # a fully-boilerplate document survives as an EMPTY row, not a drop
+    assert out[4] == ("", 0, 1)

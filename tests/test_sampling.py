@@ -183,3 +183,20 @@ def test_weighted_sample_determinism_and_clamps(spark):
     assert all(by_w[4000])
     # monotone-ish: heavier weights keep more (50 draws per weight)
     assert sum(by_w[1000]) > sum(by_w[100])
+
+
+def test_decimate_keeps_every_nth_from_first(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sampling import decimate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=i)) for u in (1, 2) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    kept = decimate(df, ["user_id"], n=3, order_cols=["event_id"])
+    got = sorted((r.user_id, r.event_id) for r in kept.collect())
+    assert got == [(1, 0), (1, 3), (1, 6), (2, 0), (2, 3), (2, 6)]
+    # n=1 keeps everything
+    assert decimate(df, ["user_id"], n=1, order_cols=["event_id"]).count() == 14

@@ -155,3 +155,34 @@ def test_interarrival_stats_hand_computed(spark):
     }
     assert rows[10] == (3, 2, 10_000_000, 60_000_000, 35_000_000.0)
     assert rows[11] == (1, 0, None, None, None)
+
+
+def test_path_mining_hand_computed(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sessionize import path_mining
+
+    base = dt.datetime(2024, 1, 1)
+    seq_u1 = ["a", "b", "c", "a", "b", "c"]   # a>b>c ×2, b>c>a, c>a>b
+    seq_u2 = ["a", "b"]                        # too short for depth 3
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=i), s) for i, s in enumerate(seq_u1)
+    ] + [
+        (100 + i, 2, base + dt.timedelta(minutes=i), s)
+        for i, s in enumerate(seq_u2)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    got = {
+        r.path: (r.n, r.rank)
+        for r in path_mining(
+            df, entity_col="user_id", state_col="state",
+            order_cols=["event_id"], depth=3, k=10,
+        ).collect()
+    }
+    assert got == {
+        "a>b>c": (2, 1),
+        "b>c>a": (1, 2),
+        "c>a>b": (1, 3),
+    }
