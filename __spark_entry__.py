@@ -939,6 +939,47 @@ def q_doc_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structural QA over a transcript-shaped stream derived
+    deterministically from events (conv = user, dense turn order by
+    (ts, event_id), µs-jittered unique ts), with defects INJECTED at a
+    deterministic 1-in-17 rate (turn_idx bumped +1 → both a gap and a
+    duplicate) and alternating roles from event-id parity (natural role
+    repeats). Counts idx breaks / role repeats / ts regressions per
+    conversation."""
+    from cardinalhq_otel_collector_spark.operators.validate import (
+        transcript_integrity,
+    )
+
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (
+            F.row_number().over(w) - 1
+            + F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, 1).otherwise(0)
+        ).cast("int").alias("turn_idx"),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, "user")
+        .otherwise("assistant").alias("role"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id")
+        ).alias("ts"),
+    )
+    return transcript_integrity(transcripts, conv_col="conv_id")
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-percentile winsorization of event values (clip to the
+    per-type exact [p05, p95]; comparison-only clipping, no float
+    arithmetic)."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import winsorize
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1867,6 +1908,49 @@ SELECT doc_id,
 FROM k GROUP BY 1
 """
 
+# Transcript-integrity oracle: the identical construction CTE (dense
+# order, 1-in-17 idx bump, parity roles, µs-jittered unique ts) and the
+# identical (idx, ts)-ordered window checks — exact integers only.
+_TRANSCRIPT_INTEGRITY_DUCK = """
+WITH t AS (
+  SELECT user_id AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 + CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS INT)
+           AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         make_timestamp(epoch_us(ts) + event_id) AS ts
+  FROM events),
+f AS (
+  SELECT conv_id, turn_idx, role, ts,
+         row_number() OVER w - 1 AS pos,
+         lag(role) OVER w AS prev_role,
+         lag(ts) OVER w AS prev_ts
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts))
+SELECT conv_id, COUNT(*) AS n_turns,
+  SUM(CASE WHEN turn_idx <> pos THEN 1 ELSE 0 END) AS n_idx_breaks,
+  SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS n_role_repeats,
+  SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS n_ts_regressions,
+  (SUM(CASE WHEN turn_idx <> pos THEN 1 ELSE 0 END) = 0
+   AND SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+   AND SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) = 0) AS is_clean
+FROM f GROUP BY 1
+"""
+
+# Winsorize oracle: quantile_cont bounds (same exact interpolated
+# definition as Spark's percentile), 6-place rounded, comparison-only
+# clipping.
+_WINSORIZE_DUCK = """
+WITH b AS (SELECT event_type,
+                  ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                  ROUND(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+  CASE WHEN e.value < b.lo THEN b.lo
+       WHEN e.value > b.hi THEN b.hi
+       ELSE e.value END AS value_winsorized
+FROM events e JOIN b USING (event_type)
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2558,6 +2642,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decimate": q_events_decimate,
     "events_paths": q_events_paths,
     "doc_remove_boilerplate": q_doc_remove_boilerplate,
+    "transcripts_integrity": q_transcripts_integrity,
+    "events_winsorize": q_events_winsorize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2640,6 +2726,8 @@ def _oracles() -> dict[str, str]:
         "events_decimate": _DECIMATE_DUCK,
         "events_paths": _PATHS_DUCK,
         "doc_remove_boilerplate": _BOILERPLATE_DUCK,
+        "transcripts_integrity": _TRANSCRIPT_INTEGRITY_DUCK,
+        "events_winsorize": _WINSORIZE_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

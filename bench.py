@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "events_interarrival",
     "events_paths",
     "doc_remove_boilerplate",
+    "transcripts_integrity",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

@@ -33,6 +33,7 @@ __all__ = [
     "split_by_flag",
     "fan_back_tags",
     "group_percentiles",
+    "winsorize",
 ]
 
 
@@ -240,3 +241,37 @@ def group_percentiles(
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"), *aggs
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip each value to its GROUP's [lower_p, upper_p]
+    exact interpolated percentiles (outlier taming before training-data
+    aggregation — keeps the row, bounds its influence; contrast with
+    dropping via anomaly/rate_limit).
+
+    Two passes over the group key: the percentile agg produces a
+    groups-sized bounds table that joins back broadcast (AQE) onto the
+    stream — the value column itself is never shuffled twice. Clipping
+    is pure comparison + selection (no arithmetic), so clipped outputs
+    are exact copies of either the value or a 6-place-rounded bound —
+    engine-portable like group_percentiles.
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    bounds = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(lower_p)), 6).alias("__lo"),
+        F.round(F.percentile(F.col(value_col), F.lit(upper_p)), 6).alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), group_cols)
+    clipped = (
+        F.when(F.col(value_col) < F.col("__lo"), F.col("__lo"))
+        .when(F.col(value_col) > F.col("__hi"), F.col("__hi"))
+        .otherwise(F.col(value_col))
+    )
+    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")

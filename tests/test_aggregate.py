@@ -133,3 +133,22 @@ def test_group_percentiles_interpolation(spark):
     # a: values 1..4 → p50 = 2.5 (linear interp), p95 = 1+3·0.95 = 3.85
     assert got["a"] == (4, 2.5, 3.85, 3.97)
     assert got["b"] == (1, 10.0, 10.0, 10.0)
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.operators.aggregate import winsorize
+
+    # group g: values 0..100 -> p05=5, p95=95 (exact interpolation on
+    # 101 evenly spaced points); group h: constant, nothing clips
+    rows = [("g", float(i)) for i in range(101)] + [("h", 7.0)] * 5
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", ["k"], 0.05, 0.95)
+    g = [r for r in out.collect() if r.k == "g"]
+    assert min(r.v_winsorized for r in g) == 5.0
+    assert max(r.v_winsorized for r in g) == 95.0
+    # interior values untouched
+    assert all(r.v_winsorized == r.v for r in g if 5.0 <= r.v <= 95.0)
+    h = [r for r in out.collect() if r.k == "h"]
+    assert all(r.v_winsorized == 7.0 for r in h)
