@@ -980,6 +980,39 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(ev, "value", ["event_type"], 0.05, 0.95)
 
 
+def q_events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension enrichment: a two-version user dimension (basic →
+    pro at 2024-01-15, open-ended current version) built inline with no
+    collect, attached per event timestamp via the as-of reuse."""
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.enrich import scd2_enrich
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    users = ev.select("user_id").distinct()
+    cut = dt.datetime(2024, 1, 15)
+    old = dt.datetime(2020, 1, 1)
+    dim = users.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(old).alias("valid_from"),
+                    F.lit(cut).alias("valid_to"),
+                    F.lit("basic").alias("tier"),
+                ),
+                F.struct(
+                    F.lit(cut).alias("valid_from"),
+                    F.lit(None).cast("timestamp").alias("valid_to"),
+                    F.lit("pro").alias("tier"),
+                ),
+            )
+        ).alias("v"),
+    ).select("user_id", "v.valid_from", "v.valid_to", "v.tier")
+    out = scd2_enrich(ev, dim, key="user_id", payload=["tier"])
+    return out.select("event_id", "user_id", "dim_tier", F.col("dim_ts").alias("dim_valid_from"))
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (deterministic term-asc ties)."""
     from cardinalhq_otel_collector_spark.operators.textstats import tfidf_topk
@@ -1951,6 +1984,20 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN b USING (event_type)
 """
 
+# SCD2 oracle: the identical inline two-version dimension and the
+# naive point-in-interval join (half-open, NULL = open-ended).
+_SCD2_DUCK = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT user_id, TIMESTAMP '2020-01-01' AS vf,
+             TIMESTAMP '2024-01-15' AS vt, 'basic' AS tier FROM u
+      UNION ALL
+      SELECT user_id, TIMESTAMP '2024-01-15', NULL, 'pro' FROM u)
+SELECT e.event_id, e.user_id, d.tier AS dim_tier, d.vf AS dim_valid_from
+FROM events e LEFT JOIN d
+  ON e.user_id = d.user_id AND e.ts >= d.vf
+ AND (d.vt IS NULL OR e.ts < d.vt)
+"""
+
 # Normalization oracle: the same lowercase → url → email → collapse →
 # trim chain; DuckDB regexp_replace needs the 'g' flag (Spark's is
 # global by default). Patterns are character-class-only, so the Java
@@ -2644,6 +2691,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_remove_boilerplate": q_doc_remove_boilerplate,
     "transcripts_integrity": q_transcripts_integrity,
     "events_winsorize": q_events_winsorize,
+    "events_scd2_enrich": q_events_scd2_enrich,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2728,6 +2776,7 @@ def _oracles() -> dict[str, str]:
         "doc_remove_boilerplate": _BOILERPLATE_DUCK,
         "transcripts_integrity": _TRANSCRIPT_INTEGRITY_DUCK,
         "events_winsorize": _WINSORIZE_DUCK,
+        "events_scd2_enrich": _SCD2_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
@@ -2744,6 +2793,16 @@ def _oracles() -> dict[str, str]:
         # session_window merges touching windows: only a gap STRICTLY
         # greater than the gap parameter splits (same rule as batch
         # sessionize) — pinned by test_streaming_sessions_gap_boundary
+        # stream-stream interval join: emitted inner matches over a fully
+        # replayed source equal the batch range join, stated naively
+        "lib_stream_stream_join": """
+SELECT c.event_id, c.user_id, v.event_id AS view_event_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
+ AND epoch_us(v.ts) <= epoch_us(c.ts) + 600000000
+""",
         "lib_streaming_sessions": """
 WITH o AS (
   SELECT user_id, ts, event_id,
@@ -3077,6 +3136,53 @@ def _lib_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+def _lib_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→view attribution
+    within ±10 minutes per user), replayed from file sources with
+    availableNow. Inner-join emission is match-driven, so with
+    watermarks longer than the replayed span the emitted set equals
+    the batch range join — which the DuckDB oracle states naively."""
+    import tempfile
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        stream_stream_interval_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_ssj_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    srcs = {}
+    for side in ("click", "view"):
+        path = f"{base}/{side}"
+        ev.filter(F.col("event_type") == side).drop("event_type").coalesce(
+            1
+        ).write.parquet(path)
+        srcs[side] = path
+    schema = "event_id long, user_id long, ts timestamp"
+    clicks = spark.readStream.schema(schema).parquet(srcs["click"])
+    views = spark.readStream.schema(schema).parquet(srcs["view"])
+    joined = stream_stream_interval_join(
+        clicks, views, by=["user_id"],
+        lower_seconds=-600, upper_seconds=600,
+        watermark="3650 days",
+    )
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", F.col("r_event_id").alias("view_event_id")
+    )
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_marshal_sink": _lib_marshal_sink,
@@ -3085,6 +3191,7 @@ _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_stateful_intervals": _lib_stateful,
     "lib_streaming_dedup": _lib_streaming_dedup,
     "lib_streaming_sessions": _lib_streaming_sessions,
+    "lib_stream_stream_join": _lib_stream_join,
 }
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["enrich"]
+__all__ = ["enrich", "scd2_enrich"]
 
 
 def enrich(
@@ -33,3 +33,58 @@ def enrich(
     for col, val in (fill_unknown or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: list[str] | None = None,
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-validity-interval dimension enrichment (SCD Type 2):
+    attach the dimension version whose ``[valid_from, valid_to)``
+    half-open interval contains the fact timestamp — the versioned twin
+    of the TTL identity cache (A16): where the cache answers "what is
+    this key NOW", SCD2 answers "what was this key THEN".
+
+    Spark-first shape: this is exactly a backward as-of join on
+    ``valid_from`` (the newest version starting at-or-before the fact)
+    plus a ``valid_to`` currency filter — so it REUSES asof_join's
+    union+window single-shuffle plan instead of an interval join; facts
+    never join-explode, and open-ended current versions (NULL
+    valid_to) match everything after their start. Left semantics:
+    facts without a covering version keep NULL dimension columns.
+    """
+    from cardinalhq_otel_collector_spark.operators.asof import asof_join
+
+    payload = payload or [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    d = dim.select(
+        F.col(key),
+        F.col(valid_from).alias(ts_col),
+        F.unix_micros(F.col(valid_to).cast("timestamp")).alias("__vto_us"),
+        *[F.col(c) for c in payload],
+    )
+    joined = asof_join(
+        facts, d, on=ts_col, by=key,
+        right_payload=["__vto_us", *payload],
+        right_order="__vto_us",
+        prefix=prefix,
+    )
+    in_validity = F.col(f"{prefix}__vto_us").isNull() | (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        < F.col(f"{prefix}__vto_us")
+    )
+    out = joined
+    for c in payload:
+        out = out.withColumn(
+            f"{prefix}{c}", F.when(in_validity, F.col(f"{prefix}{c}"))
+        )
+    return out.withColumn(
+        f"{prefix}{ts_col}", F.when(in_validity, F.col(f"{prefix}{ts_col}"))
+    ).drop(f"{prefix}__vto_us")

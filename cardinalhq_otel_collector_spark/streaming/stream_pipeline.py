@@ -37,7 +37,7 @@ from ..config import PipelineConfig
 from ..plans.pipeline import decorate, slim_facts
 from ..sources.catalog import add_time_partitions
 
-__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline", "streaming_dedup", "streaming_sessions"]
+__all__ = ["TRANSCRIPT_SCHEMA", "stream_transcripts", "run_streaming_pipeline", "streaming_dedup", "streaming_sessions", "stream_stream_interval_join"]
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -178,3 +178,56 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    lower_seconds: float,
+    upper_seconds: float,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner interval join — Structured Streaming's
+    watermarked two-stream join (click-to-view attribution, span
+    correlation): pairs where ``l.ts + lower <= r.ts <= l.ts + upper``
+    and the ``by`` keys match.
+
+    Both sides carry watermarks and the time-range condition bounds the
+    join state the engine must buffer: a row can be evicted once the
+    other stream's watermark passes its reachable window — THE property
+    that makes a two-stream join runnable on unbounded input (an
+    unconstrained stream-stream join would buffer both streams
+    forever; Spark rejects it in append mode for exactly that reason).
+
+    Inner-join emission is match-driven, not window-close-driven, so
+    with generous watermarks over replayed (file) sources the emitted
+    set equals the batch range join — which is how the oracle checks
+    this operator end to end.
+    """
+    lcols = left.columns
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = (
+        right.select(
+            *[F.col(c).alias(c if c in by else f"{prefix}{c}") for c in right.columns]
+        )
+        .withWatermark(f"{prefix}{ts_col}", watermark)
+        .alias("r")
+    )
+    cond = None
+    for k in by:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    rts = F.col(f"r.{prefix}{ts_col}")
+    lts = F.col(f"l.{ts_col}")
+    cond = (
+        cond
+        & (rts >= lts + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    out_cols = [F.col(f"l.{c}") for c in lcols] + [
+        F.col(f"r.{c}") for c in r.columns if c not in by
+    ]
+    return l.join(r, cond, "inner").select(*out_cols)

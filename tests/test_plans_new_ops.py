@@ -128,3 +128,33 @@ def test_remove_high_df_tokens_hand_computed(spark):
     assert out[3] == ("dog", 1, 1)
     # a fully-boilerplate document survives as an EMPTY row, not a drop
     assert out[4] == ("", 0, 1)
+
+
+def test_scd2_enrich_versioning_and_boundaries(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.enrich import scd2_enrich
+
+    T = dt.datetime.fromisoformat
+    facts = spark.createDataFrame(
+        [
+            (1, "k1", T("2019-06-01 00:00:00")),  # before any version → NULL
+            (2, "k1", T("2020-06-01 00:00:00")),  # v1
+            (3, "k1", T("2021-01-01 00:00:00")),  # EXACTLY v2.valid_from → v2
+            (4, "k1", T("2025-01-01 00:00:00")),  # open-ended current → v2
+            (5, "k2", T("2020-06-01 00:00:00")),  # key without dim rows → NULL
+        ],
+        "fact_id long, k string, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("k1", T("2020-01-01 00:00:00"), T("2021-01-01 00:00:00"), "v1"),
+            ("k1", T("2021-01-01 00:00:00"), None, "v2"),
+        ],
+        "k string, valid_from timestamp, valid_to timestamp, ver string",
+    )
+    got = {
+        r.fact_id: r.dim_ver
+        for r in scd2_enrich(facts, dim, key="k", payload=["ver"]).collect()
+    }
+    assert got == {1: None, 2: "v1", 3: "v2", 4: "v2", 5: None}

@@ -165,3 +165,52 @@ def test_streaming_sessions_gap_boundary(spark, tmp_path):
         (10, T("2024-01-01 00:00:00")): 3,
         (11, T("2024-01-01 05:00:00")): 1,
     }
+
+
+def test_stream_stream_interval_join_bounds(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cardinalhq_otel_collector_spark.streaming.stream_pipeline import (
+        stream_stream_interval_join,
+    )
+
+    T = dt.datetime.fromisoformat
+    clicks = spark.createDataFrame(
+        [(1, 10, T("2024-01-01 01:00:00")), (2, 11, T("2024-01-01 01:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [
+            (10, 10, T("2024-01-01 00:50:00")),  # exactly -600s → in
+            (11, 10, T("2024-01-01 00:49:59")),  # 1s early → out
+            (12, 10, T("2024-01-01 01:10:00")),  # exactly +600s → in
+            (13, 11, T("2024-01-01 01:00:00")),  # other key, same instant → in
+            (14, 10, T("2024-01-01 01:10:01")),  # 1s late → out
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    cdir, vdir = str(tmp_path / "c"), str(tmp_path / "v")
+    clicks.coalesce(1).write.parquet(cdir)
+    views.coalesce(1).write.parquet(vdir)
+    schema = "event_id long, user_id long, ts timestamp"
+    out = str(tmp_path / "out")
+    (
+        stream_stream_interval_join(
+            spark.readStream.schema(schema).parquet(cdir),
+            spark.readStream.schema(schema).parquet(vdir),
+            by=["user_id"], lower_seconds=-600, upper_seconds=600,
+            watermark="3650 days",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    got = sorted(
+        (r.event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 10), (1, 12), (2, 13)]
