@@ -2011,6 +2011,231 @@ SELECT doc_id,
 FROM documents
 """
 
+# KMV oracle: the identical 52-bit md5 hash space (13 hex digits parsed
+# with DuckDB's 0x-cast, Spark's conv(...,16,10)), identical bottom-k
+# rank cut, and the identical INTEGER division (k-1)*2^52 // h_k — no
+# floats anywhere, so the estimate matches bit-for-bit.
+_KMV_DUCK = """
+WITH h AS (SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h),
+k AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS max_h
+      FROM r WHERE r <= 64 GROUP BY 1)
+SELECT event_type, n_kept,
+  CASE WHEN n_kept < 64 THEN NULL ELSE max_h END AS kth_hash,
+  CASE WHEN n_kept < 64 THEN n_kept
+       ELSE (63 * 4503599627370496) // max_h END AS est_distinct
+FROM k
+"""
+
+# Prefix-Jaccard oracle: naive all-pairs via the shared-token
+# formulation — counts common tokens per pair directly (no prefix
+# mechanics at all, so it independently checks the filter admits every
+# qualifying pair), then the identical integer threshold test.
+_PREFIX_JACCARD_DUCK = """
+WITH t AS (SELECT DISTINCT doc_id, token
+           FROM documents d, unnest(str_split(d.text, ' ')) AS s(token)
+           WHERE token <> ''),
+s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY 1),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter_size,
+       CAST(sa.sz + sb.sz - p.inter AS BIGINT) AS union_size
+FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b
+WHERE 10 * p.inter >= 9 * (sa.sz + sb.sz - p.inter)
+"""
+
+# Span-union oracle: the same gaps-and-islands over (start, event_id)
+# order — island result is order-insensitive given end >= start, but
+# both sides pin the identical total order anyway. Integer µs.
+_SPAN_UNION_DUCK = """
+WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(floor(value) AS BIGINT) * 200000000 AS e
+            FROM events),
+f AS (SELECT user_id, event_id, s, e,
+        CASE WHEN MAX(e) OVER w_prev IS NULL OR s > MAX(e) OVER w_prev
+             THEN 1 ELSE 0 END AS ni
+      FROM iv
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+g AS (SELECT user_id, s, e,
+        SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS island
+      FROM f)
+SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       COUNT(*) AS n_merged, CAST(MAX(e) - MIN(s) AS BIGINT) AS covered
+FROM g GROUP BY user_id, island
+"""
+
+# LOCF oracle: identical integer step bucketing (epoch µs // 1e6 //
+# 3600), per-step last by (ts, event_id) as a row_number cut, the
+# per-series inclusive grid, and IGNORE NULLS carry-forward.
+_LOCF_DUCK = """
+WITH e AS (SELECT user_id, event_id, ts,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS step,
+             CAST(floor(value) AS BIGINT) AS v
+           FROM events),
+last_in AS (SELECT user_id, step, v FROM (
+    SELECT user_id, step, v,
+           row_number() OVER (PARTITION BY user_id, step
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+b AS (SELECT user_id, MIN(step) AS lo, MAX(step) AS hi FROM e GROUP BY 1),
+grid AS (SELECT user_id, CAST(r.s AS BIGINT) AS step
+         FROM b, unnest(range(b.lo, b.hi + 3600, 3600)) AS r(s)),
+j AS (SELECT g.user_id, g.step, l.v
+      FROM grid g LEFT JOIN last_in l
+        ON l.user_id = g.user_id AND l.step = g.step)
+SELECT user_id, make_timestamp(step * 1000000) AS step_start,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY step
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM j
+"""
+
+# Count-min oracle: rebuilds the identical 4x256 grid (52-bit md5 of
+# "i|key" mod 256 — same hash contract as the KMV oracle) from ALL
+# rows, probes it with the distinct keys, takes the identical min.
+_CMS_DUCK = """
+WITH k AS (SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key
+           FROM events
+           WHERE (event_type || ':' || CAST(user_id AS VARCHAR)) IS NOT NULL),
+cells AS (SELECT t.i,
+            CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || key), 1, 13))
+                 AS BIGINT) % 256 AS cell
+          FROM k, unnest([0, 1, 2, 3]) AS t(i)),
+grid AS (SELECT i, cell, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT key FROM k),
+pc AS (SELECT key, t.i,
+         CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || key), 1, 13))
+              AS BIGINT) % 256 AS cell
+       FROM probes, unnest([0, 1, 2, 3]) AS t(i))
+SELECT pc.key AS k, MIN(g.n) AS est_n
+FROM pc JOIN grid g ON g.i = pc.i AND g.cell = pc.cell
+GROUP BY 1
+"""
+
+# Time-weighted-integral oracle: identical lead() over (ts, event_id),
+# identical half-open step weighting, exact BIGINT sums.
+_TWA_DUCK = """
+WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value) AS BIGINT) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nt
+           FROM events)
+SELECT user_id, COUNT(*) AS n_obs,
+  CAST(SUM(CASE WHEN nt IS NULL THEN 0 ELSE v * (nt - t) END) AS BIGINT)
+    AS weighted_sum,
+  CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+FROM s GROUP BY 1
+"""
+
+# Mixture oracle: weights derived from the source NAME (srcN -> N mod
+# 4) — an independent formulation of the same literal weight table the
+# Spark side carries as a CASE; identical md5 shard hash.
+_MIXTURE_DUCK = """
+WITH w AS (SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) % 4 AS wt
+           FROM documents),
+c AS (SELECT doc_id, source, CAST(r.i AS INT) AS copy_idx
+      FROM w, unnest(range(1, wt + 1)) AS r(i)
+      WHERE wt >= 1)
+SELECT doc_id, source, copy_idx,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(copy_idx AS VARCHAR)), 1, 13))
+       AS BIGINT) % 64 AS shard
+FROM c
+"""
+
+# MAD oracle: exact interpolated medians rounded to 6 places (the
+# group_percentiles discipline), then single-IEEE-op deviation and cut
+# on identical operands.
+_MAD_DUCK = """
+WITH med AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS dv
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, ROUND(quantile_cont(dv, 0.5), 6) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value, d.med, a.mad
+FROM dev d JOIN mad a USING (event_type)
+WHERE d.dv > 4.4478 * a.mad
+"""
+
+# Exponential-histogram oracle: the identical comparison ladder over
+# the identical exact power-of-two double literals (2^-7 .. 2^9) —
+# decimal renderings of integer powers of two parse to exact doubles in
+# both engines, so every boundary comparison agrees bit-for-bit.
+_EXP_HIST_PORTION = " + ".join(
+    f"(CASE WHEN value > {2.0**e!r} THEN 1 ELSE 0 END)" for e in range(-7, 10)
+)
+_EXP_HIST_DUCK = f"""
+SELECT event_type,
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+  CASE WHEN value IS NULL OR value <= 0 THEN NULL
+       ELSE CAST(-8 + {_EXP_HIST_PORTION} AS INT) END AS bucket_idx,
+  COUNT(*) AS bucket_count
+FROM events GROUP BY 1, 2, 3
+"""
+
+# ROLLUP oracle: DuckDB's GROUPING(a, b) emits the same bitmask as
+# Spark's grouping_id (verified: 0 detail, 1 right-dim subtotal, 3
+# grand total); decimal-accumulated totals per the interval_stats
+# discipline.
+_ROLLUP_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP), event_type)
+       AS BIGINT) AS grouping_lvl,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), event_type)
+"""
+
+# Bloom oracle: identical bit positions (52-bit md5 of "h{i}|key" mod
+# 1024 — the shared hash contract), identical >=18-purchases small
+# side, membership of ALL k positions. False positives INCLUDED — the
+# filter's deterministic output is the contract, the exact join behind
+# it is a separate (already-covered) operator.
+_BLOOM_DUCK = """
+WITH prem AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+              GROUP BY 1 HAVING COUNT(*) >= 18),
+bits AS (SELECT DISTINCT
+           CAST(('0x' || substr(md5('h' || t.i || '|' || CAST(user_id AS VARCHAR)),
+                                1, 13)) AS BIGINT) % 1024 AS p
+         FROM prem, unnest([0, 1, 2]) AS t(i))
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND CAST(('0x' || substr(md5('h0|' || CAST(e.user_id AS VARCHAR)), 1, 13))
+           AS BIGINT) % 1024 IN (SELECT p FROM bits)
+  AND CAST(('0x' || substr(md5('h1|' || CAST(e.user_id AS VARCHAR)), 1, 13))
+           AS BIGINT) % 1024 IN (SELECT p FROM bits)
+  AND CAST(('0x' || substr(md5('h2|' || CAST(e.user_id AS VARCHAR)), 1, 13))
+           AS BIGINT) % 1024 IN (SELECT p FROM bits)
+"""
+
+# Skew-report oracle: identical integer ppm share and ceil-div salt,
+# identical unique (n DESC, keys ASC) top-10 cut.
+_SKEW_DUCK = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT event_type, user_id, n,
+  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+  CAST((n + 9) // 10 AS BIGINT) AS salt_factor
+FROM c, t
+ORDER BY n DESC, event_type ASC, user_id ASC
+LIMIT 10
+"""
+
 # PMI oracle: positional bigrams via list indexing (no window), the
 # SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
 # the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
@@ -2618,6 +2843,237 @@ GROUP BY c.label
 """
 
 
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via the KMV bottom-k
+    sketch (k=64) — O(k) state per group instead of shuffling every
+    distinct value; exact below k, (k-1)*2^52 div h_k above. All
+    integer arithmetic over a 52-bit md5 hash space, so the DuckDB
+    oracle reproduces the estimate bit-for-bit."""
+    from cardinalhq_otel_collector_spark.operators.sketch import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
+def q_doc_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-Jaccard >= 0.9 document pairs via prefix filtering
+    (PPJoin-style rarest-first prefixes + integer verification) — the
+    no-false-negatives counterpart to the MinHash LSH ladder; emitted
+    sizes are exact integers."""
+    from cardinalhq_otel_collector_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_jaccard_pairs(docs, tau_num=9, tau_den=10)
+
+
+def q_events_span_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged busy intervals (gaps-and-islands union of
+    [ts, ts + floor(value)*200s] spans): one Exchange+Sort, both
+    windows share it; integer-microsecond arithmetic end to end."""
+    from cardinalhq_otel_collector_spark.operators.spans import merge_intervals
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        start.alias("start_us"),
+        (start + F.floor("value").cast("long") * F.lit(200_000_000)).alias("end_us"),
+    )
+    return merge_intervals(iv, ["user_id"], "start_us", "end_us", "event_id")
+
+
+def q_events_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with last-observation-carried-forward
+    fill (PromQL-style step alignment): per-series grid from its own
+    [first, last] hour, per-step last value by (ts, event_id), LOCF
+    window forward — floor-integer values, engine-exact."""
+    from cardinalhq_otel_collector_spark.operators.resample import locf_resample
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return locf_resample(
+        ev, ["user_id"], "ts", "value", step_seconds=3600, order_tiebreak="event_id"
+    )
+
+
+def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-key frequency estimates (4x256 grid over
+    event_type:user_id keys): constant-size additive counters instead
+    of a per-key shuffle — map-side combine carries at most 1024 cells
+    per task at any scale. Estimates are >= true counts; the oracle
+    rebuilds the identical md5 grid."""
+    from cardinalhq_otel_collector_spark.operators.cms import cms_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+        ).alias("k")
+    )
+    return cms_counts(ev, "k", depth=4, width=256)
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-weighted integral of each user's value series
+    (half-open LOCF steps, floored-integer values x µs gaps — the
+    billing/SLO primitive). Emits exact integer numerator/denominator,
+    no float division anywhere."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import time_weighted
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return time_weighted(ev, ["user_id"], "ts", "value", "event_id")
+
+
+def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture materialization: per-source integer repeat
+    weights (srcN -> N mod 4; multiples of 4 dropped), each copy dealt
+    onto one of 64 md5 hash shards — the deterministic zero-shuffle
+    alternative to a global random sort."""
+    from cardinalhq_otel_collector_spark.operators.mixture import materialize_mixture
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = {f"src{i}": i % 4 for i in range(20)}
+    return materialize_mixture(docs, weights, shards=64)
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |value - median| > 4.4478 * MAD (the
+    3-sigma cut under the 1.4826 normal-consistency factor) — the
+    heavy-tail-proof complement to rolling z-scores; medians follow the
+    exact-percentile round-6 discipline so both engines compare
+    identical doubles."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import mad_outliers
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "value", "med", "mad"
+    )
+
+
+def q_events_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP exponential histogram (base-2, scale 0) of event values per
+    (type, day): bucket index from a comparison ladder over EXACT
+    power-of-two double literals — no log2(), whose last-ulp libm
+    behavior would put boundary values in different buckets per
+    engine."""
+    from cardinalhq_otel_collector_spark.operators.histogram import exp_histogram
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return exp_histogram(
+        ev, ["event_type"], "value", min_exp=-7, max_exp=9, interval="1 day"
+    ).select("event_type", "bucket_start", "bucket_idx", "bucket_count")
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × type ROLLUP grouping sets in one expand+agg pass (counts +
+    decimal-accumulated value totals; grouping_id disambiguates
+    subtotal NULLs from data NULLs)."""
+    from cardinalhq_otel_collector_spark.operators.grouping import rollup_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return rollup_counts(ev, ["day", "event_type"], "value")
+
+
+def q_events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom pre-filter (k=3, m=1024) of the events stream by
+    a selective user dimension (>= 18 purchases): zero false negatives,
+    deterministic md5 bit positions, the big side never shuffles — the
+    explicit version of AQE's runtime bloom injection."""
+    from cardinalhq_otel_collector_spark.operators.bloomjoin import bloom_semi_filter
+
+    ev = _read(spark, sf_dir, "events")
+    premium = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 18)
+        .select("user_id")
+    )
+    big = ev.select("event_id", "user_id", "event_type")
+    return bloom_semi_filter(big, premium, "user_id", k=3, m=1024)
+
+
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for (event_type, user_id): top-10 keys by
+    count with exact integer ppm share and the ceil(n/target) salt
+    factor — the pre-flight profile before any big keyed shuffle."""
+    from cardinalhq_otel_collector_spark.operators.profile import skew_report
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    return skew_report(ev, ["event_type", "user_id"], target_rows_per_task=10, top=10)
+
+
+def q_events_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: two deterministic versions of the events
+    table (old drops id%50==0; new drops id%11==0 and bumps value on
+    id%7==0) classified added/removed/changed by a null-safe full
+    outer join on the key — unchanged keys are dropped, the output is
+    the replayable delta."""
+    from cardinalhq_otel_collector_spark.operators.diff import table_diff
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    old = ev.where(F.pmod(F.col("event_id"), F.lit(50)) != 0)
+    new = ev.where(F.pmod(F.col("event_id"), F.lit(11)) != 0).withColumn(
+        "value",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(7)) == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    return table_diff(old, new, ["event_id"], ["value"])
+
+
+def q_events_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-latency summaries per role transition over the
+    transcript-shaped stream (conv = user, role from event-id parity):
+    exact integer µs gaps, mean as the pinned int/int double division —
+    'how fast does the assistant answer' as data."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import (
+        reply_latency_stats,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+    )
+    return reply_latency_stats(ev, "conv_id", "ts", "role", "event_id")
+
+
+def q_conv_trim_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trimming: per conversation keep the longest
+    suffix of turns whose token total fits a 300-token budget
+    (greedy-from-the-end reverse cumulative sum — the serving-side rule
+    before inference). Both windows share one conv partitioning."""
+    from cardinalhq_otel_collector_spark.operators.context import trim_to_budget
+
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w).cast("long") - 1).alias("turn_idx"),
+        (F.pmod(F.col("event_id"), F.lit(100)) + 1).alias("token_n"),
+    )
+    return trim_to_budget(turns, "conv_id", "turn_idx", "token_n", 300)
+
+
+def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equal-frequency value deciles (ANSI NTILE, total
+    (value, event_id) ordering so assignments — not just bucket sizes —
+    are deterministic)."""
+    from cardinalhq_otel_collector_spark.operators.grouping import ntile_buckets
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ntile_buckets(ev, "value", ["event_type"], k=10, tiebreak_col="event_id").select(
+        "event_id", "event_type", "value", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -2692,6 +3148,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts_integrity": q_transcripts_integrity,
     "events_winsorize": q_events_winsorize,
     "events_scd2_enrich": q_events_scd2_enrich,
+    "events_kmv_distinct": q_events_kmv_distinct,
+    "doc_prefix_jaccard": q_doc_prefix_jaccard,
+    "events_span_union": q_events_span_union,
+    "events_locf_resample": q_events_locf_resample,
+    "events_cms_counts": q_events_cms_counts,
+    "events_twa": q_events_twa,
+    "doc_mixture": q_doc_mixture,
+    "events_mad_outliers": q_events_mad_outliers,
+    "events_exp_histogram": q_events_exp_histogram,
+    "events_rollup": q_events_rollup,
+    "events_bloom_prefilter": q_events_bloom_prefilter,
+    "events_skew_report": q_events_skew_report,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -2777,6 +3245,18 @@ def _oracles() -> dict[str, str]:
         "transcripts_integrity": _TRANSCRIPT_INTEGRITY_DUCK,
         "events_winsorize": _WINSORIZE_DUCK,
         "events_scd2_enrich": _SCD2_DUCK,
+        "events_kmv_distinct": _KMV_DUCK,
+        "doc_prefix_jaccard": _PREFIX_JACCARD_DUCK,
+        "events_span_union": _SPAN_UNION_DUCK,
+        "events_locf_resample": _LOCF_DUCK,
+        "events_cms_counts": _CMS_DUCK,
+        "events_twa": _TWA_DUCK,
+        "doc_mixture": _MIXTURE_DUCK,
+        "events_mad_outliers": _MAD_DUCK,
+        "events_exp_histogram": _EXP_HIST_DUCK,
+        "events_rollup": _ROLLUP_DUCK,
+        "events_bloom_prefilter": _BLOOM_DUCK,
+        "events_skew_report": _SKEW_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "interval_aggregate",
@@ -34,6 +35,8 @@ __all__ = [
     "fan_back_tags",
     "group_percentiles",
     "winsorize",
+    "mad_outliers",
+    "time_weighted",
 ]
 
 
@@ -275,3 +278,80 @@ def winsorize(
         .otherwise(F.col(value_col))
     )
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 4.4478,
+) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag rows
+    with |value - median| > k * MAD, per group. k = 4.4478 is the
+    conventional 3-sigma cut scaled by the 1.4826 normal-consistency
+    factor — MAD-based cuts survive the heavy tails that wreck
+    mean/stddev z-scores (the statistical complement to
+    operators/anomaly's rolling z).
+
+    Exactness needs two group passes (the deviation median depends on
+    the value median); both produce groups-sized tables that join back
+    broadcast, so the data-sized stream is scanned twice but shuffled
+    ZERO times on the value. Medians follow the group_percentiles
+    discipline (exact interpolated percentile, 6-place round) so the
+    deviation |v - med| and the cut k*mad are single IEEE ops on
+    identical operands in any engine.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .where(F.col("__dev") > F.lit(k) * F.col("mad"))
+        .drop("__dev")
+    )
+
+
+def time_weighted(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact time-weighted integral of a step series per group: each
+    observation holds its (floored-integer) value until the next one,
+    contributing value * gap_us; the last observation has no successor
+    and contributes nothing (half-open [t_i, t_{i+1}) steps — the same
+    LOCF reading as resample.locf_resample, integrated instead of
+    sampled; the billing/SLO primitive).
+
+    Emits exact integers — weighted_sum (sum of value*gap products) and
+    duration_us (first-to-last extent) — rather than a ratio: the
+    caller divides at whatever precision it wants, and the oracle
+    comparison stays float-free. One Exchange: the lead window and the
+    final agg share the group partitioning.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__t").asc(), F.col("__id").asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    stepped = df.select(
+        *group_cols,
+        us.alias("__t"),
+        F.col(id_col).alias("__id"),
+        F.floor(F.col(value_col)).cast("long").alias("__v"),
+    ).withColumn("__next_t", F.lead("__t").over(w))
+    return stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("__next_t").isNotNull(),
+                F.col("__v") * (F.col("__next_t") - F.col("__t")),
+            ).otherwise(F.lit(0))
+        ).alias("weighted_sum"),
+        (F.max("__t") - F.min("__t")).alias("duration_us"),
+    )

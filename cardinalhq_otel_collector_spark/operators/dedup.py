@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "exact_dedup",
@@ -32,6 +33,7 @@ __all__ = [
     "neardup_components",
     "neardup_dedup",
     "edit_distance_pairs",
+    "prefix_jaccard_pairs",
 ]
 
 
@@ -318,4 +320,87 @@ def edit_distance_pairs(
         .select(*out_cols)
         .dropDuplicates(["a", "b"])
         .filter(F.levenshtein("a", "b") <= max_dist)
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 3,
+    tau_den: int = 10,
+) -> DataFrame:
+    """EXACT word-level Jaccard >= tau_num/tau_den pairs via prefix
+    filtering (PPJoin-style; Chaudhuri/Ganti/Kaushik SSJoin 2006,
+    Xiao et al. PPJoin 2008) — the inverted-index counterpart to the
+    probabilistic MinHash ladder: same scale shape (token equi-join,
+    never the O(n^2) cross product), but NO false negatives.
+
+    Filter soundness: sort every doc's token set by one global order
+    (ascending global frequency, token text as tiebreak — rarest
+    first, so prefixes index the least common tokens). With prefix
+    length p(x) = |x| - ceil(tau*|x|) + 1, any pair with J >= tau
+    shares a token inside BOTH prefixes: J >= tau implies the overlap
+    o = |x n y| >= ceil(tau*|x|) (union contains x), so the first
+    common token in global order has at least o - 1 >= ceil(tau*|x|)-1
+    common tokens after it in x's sorted list, placing it at position
+    <= |x| - ceil(tau*|x|) + 1 = p(x); symmetrically for y. The
+    prefix equi-join therefore yields a candidate superset, and the
+    exact intersection/union verification keeps only true pairs.
+
+    Plan shape: token-frequency join (shuffle on token), per-doc
+    row_number window (partition by doc — scales), prefix self
+    equi-join on token (hot common tokens never enter prefixes by the
+    rarest-first order, which is also the skew defense), then a
+    verification join against the collected per-doc sorted token
+    arrays. Every emitted number is an integer — intersection and
+    union sizes — so the threshold test tau_den*inter >= tau_num*union
+    is exact in any engine.
+    """
+    toks = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # prefix length: sz - ceil(tau*sz) + 1, integer ceil via div (never
+    # double division — a float quotient rounding up across an integer
+    # boundary would silently shorten a prefix)
+    p_len = F.expr(f"__sz - ((__sz * {tau_num} + {tau_den - 1}) div {tau_den}) + 1")
+    w = Window.partitionBy(id_col).orderBy("__tf", "token")
+    prefix = (
+        toks.join(freq, "token")
+        .join(sizes, id_col)
+        .select(id_col, "token", F.row_number().over(w).alias("__pos"), "__sz")
+        .where(F.col("__pos") <= p_len)
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("a"), "token")
+        .join(prefix.select(F.col(id_col).alias("b"), "token"), "token")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    docsets = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("token")).alias("__set"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    a_side = docsets.select(
+        F.col(id_col).alias("a"), F.col("__set").alias("__sa"), F.col("__sz").alias("__na")
+    )
+    b_side = docsets.select(
+        F.col(id_col).alias("b"), F.col("__set").alias("__sb"), F.col("__sz").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    return (
+        cand.join(a_side, "a")
+        .join(b_side, "b")
+        .select(
+            "a",
+            "b",
+            inter.alias("inter_size"),
+            (F.col("__na") + F.col("__nb") - inter).cast("long").alias("union_size"),
+        )
+        .where(F.lit(tau_den) * F.col("inter_size") >= F.lit(tau_num) * F.col("union_size"))
     )

@@ -13,10 +13,10 @@ implementation is not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assemble_ordered", "group_by_attrs", "pivot_counts"]
+__all__ = ["assemble_ordered", "group_by_attrs", "pivot_counts", "rollup_counts", "ntile_buckets"]
 
 
 def assemble_ordered(
@@ -70,3 +70,47 @@ def pivot_counts(
             for c in categories
         ]
     )
+
+
+def rollup_counts(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-granularity pre-aggregation via ROLLUP grouping sets:
+    (d1, d2, ..., dn), (d1, ..., d(n-1)), ..., (d1), () — the
+    dashboard-cube pattern computed in ONE pass (Catalyst expands the
+    grouping sets into a single expand + hash aggregate; at scale this
+    replaces n separate scans with one). ``grouping_id`` disambiguates
+    subtotal rows from genuine NULL dimension values — the standard
+    GROUPING() discipline, engine-portable.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        # decimal accumulation: bit-stable under any partitioning
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total")
+        )
+    return (
+        df.rollup(*dims)
+        .agg(F.grouping_id().cast("long").alias("grouping_lvl"), *aggs)
+    )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning (NTILE) of a value per group — the ML
+    feature-bucketizer / decile-report primitive. ANSI NTILE semantics
+    (first n%k buckets get the extra row) are identical across engines;
+    the (value, tiebreak) ordering is total so the assignment is
+    deterministic, not just the bucket SIZES. One Exchange+Sort."""
+    order = [F.col(value_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("bucket", F.ntile(k).over(w))

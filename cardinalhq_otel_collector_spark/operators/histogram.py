@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_index", "latency_histogram", "red_metrics"]
+__all__ = [
+    "bucket_index",
+    "latency_histogram",
+    "red_metrics",
+    "exp_bucket_index",
+    "exp_histogram",
+]
 
 
 def bucket_index(value: Column, bounds: list[float]) -> Column:
@@ -74,6 +80,57 @@ def red_metrics(
             F.min(v).alias("duration_min"),
             F.max(v).alias("duration_max"),
         )
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def exp_bucket_index(value: Column, min_exp: int = -16, max_exp: int = 16) -> Column:
+    """OTel exponential-histogram bucket index at scale 0 (base 2):
+    bucket i covers (2^i, 2^(i+1)] — index = (count of boundaries
+    2^e, e in [min_exp, max_exp], strictly below value) + min_exp - 1.
+
+    Same comparison-ladder construction as ``bucket_index`` (the
+    boundaries are EXACT double literals — integer powers of two — so
+    every comparison is engine-exact; no log2(), whose last-ulp
+    behavior is libm-defined and would put boundary values in
+    different buckets on different engines). The ladder is
+    config-bounded (a few dozen branches), fully codegen'd, zero
+    joins. Values <= 2^min_exp clamp to the underflow index
+    (min_exp - 1); values > 2^max_exp land in max_exp.
+    """
+    idx = F.lit(min_exp - 1)
+    for e in range(min_exp, max_exp + 1):
+        idx = idx + F.when(value > F.lit(float(2.0**e)), 1).otherwise(0)
+    return idx
+
+
+def exp_histogram(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_exp: int = -16,
+    max_exp: int = 16,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponential (base-2, scale-0) histogram per (keys, interval):
+    the OTLP ExponentialHistogram datapoint shape — one projection for
+    the bucket index, one hash aggregation (partial+final, shuffle at
+    group cardinality). NULL and non-positive values are counted in
+    ``zero_count`` per the OTLP convention (negative buckets are out of
+    scope for latency-shaped data).
+    """
+    v = F.col(value_col)
+    bucketed = df.withColumn(
+        "bucket_idx",
+        F.when(
+            v.isNull() | (v <= 0), F.lit(None).cast("int")
+        ).otherwise(exp_bucket_index(v, min_exp, max_exp).cast("int")),
+    )
+    return (
+        bucketed.groupBy(F.window(ts_col, interval).alias("w"), *keys, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
     )

@@ -1,0 +1,92 @@
+"""Fixed-step resampling with LOCF gap fill (PromQL-style alignment).
+
+Metrics backends answer range queries on a fixed step grid: the value
+at each grid point is the most recent observation at or before it
+(last-observation-carried-forward). The batch equivalent: per series,
+build the step grid spanning the series' own [first, last] window,
+take the last value inside each step, and carry forward across empty
+steps. This composes with interval_last / stateful rollups as the
+read-side of a metrics pipeline (reference behavior: PromQL lookback
+semantics, public Prometheus docs; cf. interval_last for the
+write-side rollup).
+
+Plan shape: one per-series aggregate builds the grid bounds (tiny),
+``sequence`` + explode materializes the grid (rows = series x steps,
+never a cross join), one left join attaches per-step last values, and
+one window (partition by series, order by step) carries them forward.
+Two shuffles total, both on the series key. Values are kept integer
+(floor) so the LOCF output is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["locf_resample"]
+
+
+def locf_resample(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample ``value_col`` onto a ``step_seconds`` grid per group
+    with last-observation-carried-forward fill.
+
+    The per-step "last" observation is the max-(ts, tiebreak) row in
+    the step; ``order_tiebreak`` (e.g. an event id) makes ties total.
+    Output: group cols, step_start (timestamp), value (long, LOCF —
+    never NULL because each series' grid starts at its own first
+    observation's step).
+    """
+    # integer div, never double division: a float quotient landing on
+    # x.99999... at a step boundary would mis-bucket the row
+    step_of = F.expr(
+        f"(unix_timestamp({ts_col}) div {int(step_seconds)}) * {int(step_seconds)}L"
+    )
+    tb = (
+        F.col(order_tiebreak)
+        if order_tiebreak
+        else F.monotonically_increasing_id()
+    )
+    # last value per non-empty step: max_by over (ts, tiebreak)
+    per_step = (
+        df.select(
+            *by,
+            step_of.alias("__step"),
+            # floor, not a bare cast: Spark's double->long cast truncates
+            # while DuckDB's rounds — floor agrees everywhere
+            F.floor(F.col(value_col)).cast("long").alias("__v"),
+            F.struct(F.col(ts_col), tb.alias("__tb")).alias("__ord"),
+        )
+        .groupBy(*by, "__step")
+        .agg(F.max_by("__v", "__ord").alias("__step_last"))
+    )
+    bounds = per_step.groupBy(*by).agg(
+        F.min("__step").alias("__lo"), F.max("__step").alias("__hi")
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(step_seconds)))
+        ).alias("__step"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__step")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_step, [*by, "__step"], "left")
+        .withColumn("value", F.last("__step_last", ignorenulls=True).over(w))
+        .select(
+            *by,
+            F.timestamp_seconds(F.col("__step")).alias("step_start"),
+            "value",
+        )
+    )

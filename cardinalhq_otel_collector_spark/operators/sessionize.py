@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining"]
+__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining", "reply_latency_stats"]
 
 
 def sessionize(
@@ -188,4 +188,40 @@ def path_mining(
     return (
         counts.withColumn("rank", F.row_number().over(rw).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def reply_latency_stats(
+    df: DataFrame,
+    conv_col: str,
+    ts_col: str,
+    role_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Reply-latency summaries per role transition: for each
+    consecutive turn pair inside a conversation, the gap in exact
+    integer microseconds, grouped by (prev_role -> role). The
+    transcript-QA companion to interarrival_stats (which ignores
+    roles) and transition_counts (which ignores time): "how fast does
+    the assistant answer the user" as data.
+
+    One Exchange: lag window over (conv, ts, id) feeds a hash agg on
+    the tiny (prev_role, role) key. Mean is the SAME exact int/int
+    double division as interarrival_stats — never AVG, whose internal
+    accumulation is engine-defined.
+    """
+    w = Window.partitionBy(conv_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gapped = df.select(
+        F.col(role_col).alias("role"),
+        F.lag(F.col(role_col)).over(w).alias("prev_role"),
+        (us - F.lag(us).over(w)).alias("__gap"),
+    ).where(F.col("prev_role").isNotNull())
+    return gapped.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        (F.sum("__gap").cast("double") / F.count("__gap").cast("double")).alias(
+            "mean_gap_us"
+        ),
     )
