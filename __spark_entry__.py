@@ -2236,6 +2236,66 @@ ORDER BY n DESC, event_type ASC, user_id ASC
 LIMIT 10
 """
 
+# Table-diff oracle: the identical deterministic old/new derivations,
+# a FULL OUTER JOIN, IS DISTINCT FROM for the null-safe value compare
+# (the twin of Spark's eqNullSafe), unchanged keys filtered.
+_TABLE_DIFF_DUCK = """
+WITH old AS (SELECT event_id, value FROM events WHERE event_id % 50 <> 0),
+new AS (SELECT event_id,
+          CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value
+        FROM events WHERE event_id % 11 <> 0),
+d AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+        CASE WHEN o.event_id IS NULL THEN 'added'
+             WHEN n.event_id IS NULL THEN 'removed'
+             WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+        END AS status
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+SELECT event_id, status FROM d WHERE status IS NOT NULL
+"""
+
+# Reply-latency oracle: identical role derivation (event-id parity),
+# identical lag window over (conv, ts, event_id), exact integer gaps,
+# mean as the SAME int/int double division (interarrival discipline).
+_REPLY_LATENCY_DUCK = """
+WITH t AS (SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+           FROM events),
+g AS (SELECT role, lag(role) OVER w AS prev_role,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_role, role, COUNT(*) AS n_gaps,
+  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE) AS mean_gap_us
+FROM g WHERE prev_role IS NOT NULL GROUP BY 1, 2
+"""
+
+# Context-trim oracle: identical turn derivation, the identical
+# reverse cumulative sum (ORDER BY turn DESC) and the <= 300 cut.
+_TRIM_BUDGET_DUCK = """
+WITH t AS (SELECT user_id AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1
+                  AS BIGINT) AS turn_idx,
+             (event_id % 100) + 1 AS token_n
+           FROM events),
+s AS (SELECT conv_id, turn_idx, token_n,
+        CAST(SUM(token_n) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS suffix_tokens
+      FROM t)
+SELECT conv_id, turn_idx, token_n, suffix_tokens
+FROM s WHERE suffix_tokens <= 300
+"""
+
+# NTILE oracle: ANSI ntile over the identical total (value, event_id)
+# ordering per type — assignments, not just bucket sizes, agree.
+_NTILE_DUCK = """
+SELECT event_id, event_type, value,
+  CAST(ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS BIGINT) AS bucket
+FROM events
+"""
+
 # PMI oracle: positional bigrams via list indexing (no window), the
 # SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
 # the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
@@ -3160,6 +3220,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_bloom_prefilter": q_events_bloom_prefilter,
     "events_skew_report": q_events_skew_report,
+    "events_table_diff": q_events_table_diff,
+    "events_reply_latency": q_events_reply_latency,
+    "conv_trim_budget": q_conv_trim_budget,
+    "events_ntile": q_events_ntile,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3257,6 +3321,10 @@ def _oracles() -> dict[str, str]:
         "events_rollup": _ROLLUP_DUCK,
         "events_bloom_prefilter": _BLOOM_DUCK,
         "events_skew_report": _SKEW_DUCK,
+        "events_table_diff": _TABLE_DIFF_DUCK,
+        "events_reply_latency": _REPLY_LATENCY_DUCK,
+        "conv_trim_budget": _TRIM_BUDGET_DUCK,
+        "events_ntile": _NTILE_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
