@@ -2296,6 +2296,177 @@ SELECT event_id, event_type, value,
 FROM events
 """
 
+# histogram_quantile oracle: identical comparison-ladder buckets,
+# integer rank crossing (cum*100 vs total*95 — no float rank), and the
+# identical single interpolation tree with the identical bound
+# literals; overflow lo==hi collapses to the PromQL clamp.
+_HQ_LADDER = (
+    "(CASE WHEN value > 10.0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN value > 50.0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN value > 100.0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN value > 250.0 THEN 1 ELSE 0 END)"
+)
+_HIST_QUANTILE_DUCK = f"""
+WITH h AS (SELECT event_type, CAST({_HQ_LADDER} AS INT) AS bucket_idx,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+c AS (SELECT event_type, bucket_idx, n,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+x AS (SELECT *, cum - n AS prev,
+        CASE bucket_idx WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 WHEN 2 THEN 50.0
+                        WHEN 3 THEN 100.0 ELSE 250.0 END AS lo,
+        CASE bucket_idx WHEN 0 THEN 10.0 WHEN 1 THEN 50.0 WHEN 2 THEN 100.0
+                        WHEN 3 THEN 250.0 ELSE 250.0 END AS hi
+      FROM c)
+SELECT event_type, bucket_idx,
+  ROUND(lo + (hi - lo) * ((CAST(total AS DOUBLE) * 0.95 - CAST(prev AS DOUBLE))
+                          / CAST(n AS DOUBLE)), 6) AS p950
+FROM x
+WHERE cum * 100 >= total * 95 AND prev * 100 < total * 95
+"""
+
+# PSI oracle: identical ladder buckets on both snapshots, identical
+# +1/(total+5) Laplace smoothing, ONE fixed (p_new-p_old)*ln(p_new/
+# p_old) tree, round-6 (entropy/pmi discipline).
+_PSI_DUCK = f"""
+WITH o AS (SELECT CAST({_HQ_LADDER} AS INT) AS bucket, COUNT(*) AS n_old
+           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+n AS (SELECT CAST({_HQ_LADDER} AS INT) AS bucket, COUNT(*) AS n_new
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+t AS (SELECT (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS t_old,
+             (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1) AS t_new),
+j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+             COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket)
+SELECT bucket, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+  ROUND((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 5 AS DOUBLE)
+         - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 5 AS DOUBLE))
+        * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 5 AS DOUBLE))
+             / (CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 5 AS DOUBLE))), 6)
+    AS psi_term
+FROM j, t
+"""
+
+# Changes-only oracle: identical lag over (ts, event_id), first row
+# kept, IS DISTINCT FROM compare on the floored value.
+_CHANGES_ONLY_DUCK = """
+WITH s AS (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v,
+             lag(CAST(floor(value) AS BIGINT)) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, v AS value_floor
+FROM s WHERE rn = 1 OR v IS DISTINCT FROM prev
+"""
+
+# Z-order oracle: the identical 16-step bit interleave as one flat
+# OR-chain over >>/<<\/& — engine-exact integer bit math.
+_ZORDER_DUCK = "SELECT event_id, (" + " | ".join(
+    f"(((user_id >> {i}) & 1) << {2 * i})"
+    f" | ((((event_id % 65536) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+) + ") AS z FROM events"
+
+# Source-overlap oracle: the identical distinct (source, 12-gram
+# shingle) projection, pairwise shared-shingle counts, exact integer
+# inter/union.
+_SOURCE_OVERLAP_DUCK = """
+WITH t AS (SELECT DISTINCT source AS src,
+             substr(text, CAST(p.i AS INT), 12) AS sh
+           FROM documents d,
+                unnest(range(1, greatest(length(d.text) - 11, 1) + 1)) AS p(i)),
+s AS (SELECT src, COUNT(*) AS sz FROM t GROUP BY 1),
+p AS (SELECT a.src AS a, b.src AS b, COUNT(*) AS inter_size
+      FROM t a JOIN t b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2)
+SELECT p.a, p.b, p.inter_size,
+       CAST(sa.sz + sb.sz - p.inter_size AS BIGINT) AS union_size
+FROM p JOIN s sa ON sa.src = p.a JOIN s sb ON sb.src = p.b
+"""
+
+# Basket-lift oracle: identical distinct (basket, item) pairs, the
+# identical integer lift n_ab*total*1e6 // (n_a*n_b).
+_BASKET_LIFT_DUCK = """
+WITH b AS (SELECT DISTINCT user_id AS bk, event_type AS it FROM events
+           WHERE event_type IS NOT NULL),
+t AS (SELECT COUNT(DISTINCT bk) AS total FROM b),
+i AS (SELECT it, COUNT(*) AS n FROM b GROUP BY 1),
+p AS (SELECT x.it AS a, y.it AS b, COUNT(*) AS n_ab
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2)
+SELECT p.a, p.b, p.n_ab, ia.n AS n_a, ib.n AS n_b,
+  CAST(p.n_ab * t.total * 1000000 // (ia.n * ib.n) AS BIGINT) AS lift_ppm
+FROM p JOIN i ia ON ia.it = p.a JOIN i ib ON ib.it = p.b, t
+"""
+
+# Percent-rank oracle: ANSI percent_rank over value alone — tied
+# values are peers in both engines, so no tiebreak is needed (or
+# allowed: one would change the semantics).
+_PERCENT_RANK_DUCK = """
+SELECT event_id, event_type, value,
+  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+FROM events
+"""
+
+# RLE oracle: identical lag-flag + running-sum islands over the
+# identical (ts, event_id) order, identical per-run aggregates.
+_RLE_DUCK = """
+WITH f AS (SELECT user_id, event_type, event_id, ts,
+             CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+                  THEN 0 ELSE 1 END AS nw
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT user_id, event_type, event_id,
+        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_idx
+      FROM f)
+SELECT user_id, run_idx, MAX(event_type) AS state, COUNT(*) AS run_len,
+       MIN(event_id) AS first_id, MAX(event_id) AS last_id
+FROM g GROUP BY 1, 2
+"""
+
+# TPC-H Q3 oracle: the classic three-table formulation with the
+# identical decimal revenue accumulation and the identical unique
+# (revenue DESC, o_orderdate, l_orderkey) top-10 cut.
+_TPCH_Q3_DUCK = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+# Rolling-KMV oracle: identical per-day distinct hash sets, identical
+# 7-day range merge, identical bottom-k integer estimator.
+_KMV_ROLLING_DUCK = """
+WITH dh AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+days AS (SELECT DISTINCT d AS day FROM dh),
+win AS (SELECT DISTINCT g.day, dh.h
+        FROM days g JOIN dh
+          ON dh.d BETWEEN g.day - INTERVAL 6 DAY AND g.day),
+r AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+      FROM win),
+k AS (SELECT day, COUNT(*) AS n_kept, MAX(h) AS max_h
+      FROM r WHERE r <= 64 GROUP BY 1)
+SELECT day, n_kept,
+  CASE WHEN n_kept < 64 THEN NULL ELSE max_h END AS kth_hash,
+  CASE WHEN n_kept < 64 THEN n_kept
+       ELSE (63 * 4503599627370496) // max_h END AS est_distinct
+FROM k
+"""
+
 # PMI oracle: positional bigrams via list indexing (no window), the
 # SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
 # the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
@@ -3134,6 +3305,156 @@ def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HQ_BOUNDS = [10.0, 50.0, 100.0, 250.0]
+
+
+def q_events_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style histogram_quantile(0.95) over explicit-bounds
+    bucket counts per event type: exact integer rank crossing + one
+    fixed IEEE interpolation tree, overflow clamped to the last finite
+    bound (the PromQL rule)."""
+    from cardinalhq_otel_collector_spark.operators.histogram import (
+        bucket_index,
+        histogram_quantile,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            bucket_index(F.col("value"), _HQ_BOUNDS).cast("int").alias("bucket_idx"),
+        )
+        .groupBy("event_type", "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+    return histogram_quantile(hist, ["event_type"], _HQ_BOUNDS, 95, 100)
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift terms between two deterministic
+    snapshots (even vs odd event ids) over the shared histogram bounds —
+    integer Laplace-smoothed counts into one fixed ln tree, round-6."""
+    from cardinalhq_otel_collector_spark.operators.profile import psi_drift
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    old = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    new = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    return psi_drift(old, new, "value", _HQ_BOUNDS)
+
+
+def q_events_changes_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries delta compression: keep the first row per series plus
+    rows whose floored value differs from the previous observation —
+    LOCF replay of the kept rows reproduces every step exactly."""
+    from cardinalhq_otel_collector_spark.operators.resample import changes_only
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return changes_only(ev, ["user_id"], "ts", "value", "event_id").select(
+        "event_id", "user_id", "value_floor"
+    )
+
+
+def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (user_id, event_id mod 2^16) — the
+    locality-preserving sort key behind OPTIMIZE ZORDER file layout;
+    pure engine-exact bit interleaving."""
+    from cardinalhq_otel_collector_spark.functions import z_order_key
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    return ev.select(
+        "event_id",
+        z_order_key(
+            F.col("user_id"), F.pmod(F.col("event_id"), F.lit(65536)), bits=16
+        ).alias("z"),
+    )
+
+
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap matrix: exact char-12-gram Jaccard between every
+    SOURCE pair (vocab-sized join, corpus scanned once) — the
+    data-governance 'how much of A is already in B' view."""
+    from cardinalhq_otel_collector_spark.operators.dedup import source_overlap
+
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    return source_overlap(docs)
+
+
+def q_events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types over user baskets —
+    co-occurrence counts plus exact integer ppm lift (no float
+    probabilities)."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import basket_lift
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type")
+    return basket_lift(ev, "user_id", "event_type")
+
+
+def q_events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based value scaling per event type (ANSI percent_rank —
+    exact int/int double, peers share ranks so the output is
+    deterministic under any physical order)."""
+    from cardinalhq_otel_collector_spark.operators.grouping import percent_rank_scale
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return percent_rank_scale(ev, "value", ["event_type"])
+
+
+def q_events_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence —
+    consecutive equal states collapse to (run_idx, state, run_len,
+    first/last id) rows; the state-machine compression for 'how long
+    did it stay in state X'."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import run_length_encode
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return run_length_encode(ev, ["user_id"], "event_type", "ts", "event_id")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) adapted to the testdata schema:
+    BUILDING customers' pre-cutoff orders with post-cutoff line items,
+    top-10 by decimal-accumulated revenue. DataFrame-API joins: the
+    filtered customer dim broadcasts; the orders-lineitem join shuffles
+    on the orderkey only. Revenue accumulates in DECIMAL(18,6) so the
+    sort key (and the values) are bit-stable under any partitioning."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    items = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    out = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(items, items.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return out.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+def q_events_kmv_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day from MERGED
+    per-day KMV sketches (the WAU shape) — demonstrates the sketch
+    union property that makes KMV the distributed-rollup choice; the
+    merge is a broadcast day-grid range join, never a rescan."""
+    from cardinalhq_otel_collector_spark.operators.sketch import kmv_rolling_distinct
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    return kmv_rolling_distinct(ev, "user_id", "ts", k=64, window_days=7)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3224,6 +3545,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_reply_latency": q_events_reply_latency,
     "conv_trim_budget": q_conv_trim_budget,
     "events_ntile": q_events_ntile,
+    "events_histogram_quantile": q_events_histogram_quantile,
+    "events_psi_drift": q_events_psi_drift,
+    "events_changes_only": q_events_changes_only,
+    "events_zorder_key": q_events_zorder_key,
+    "doc_source_overlap": q_doc_source_overlap,
+    "events_basket_lift": q_events_basket_lift,
+    "events_percent_rank": q_events_percent_rank,
+    "events_rle": q_events_rle,
+    "tpch_q3": q_tpch_q3,
+    "events_kmv_rolling": q_events_kmv_rolling,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3325,6 +3656,16 @@ def _oracles() -> dict[str, str]:
         "events_reply_latency": _REPLY_LATENCY_DUCK,
         "conv_trim_budget": _TRIM_BUDGET_DUCK,
         "events_ntile": _NTILE_DUCK,
+        "events_histogram_quantile": _HIST_QUANTILE_DUCK,
+        "events_psi_drift": _PSI_DUCK,
+        "events_changes_only": _CHANGES_ONLY_DUCK,
+        "events_zorder_key": _ZORDER_DUCK,
+        "doc_source_overlap": _SOURCE_OVERLAP_DUCK,
+        "events_basket_lift": _BASKET_LIFT_DUCK,
+        "events_percent_rank": _PERCENT_RANK_DUCK,
+        "events_rle": _RLE_DUCK,
+        "tpch_q3": _TPCH_Q3_DUCK,
+        "events_kmv_rolling": _KMV_ROLLING_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
@@ -3350,6 +3691,18 @@ FROM events c JOIN events v
  AND c.event_type = 'click' AND v.event_type = 'view'
  AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
  AND epoch_us(v.ts) <= epoch_us(c.ts) + 600000000
+""",
+        # the stateful streaming gauge compression replays time-split
+        # microbatches, so its emitted set equals the BATCH changes_only
+        # — stated here as the plain lag / IS DISTINCT FROM query
+        "lib_streaming_changes": """
+WITH s AS (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v,
+             lag(CAST(floor(value) AS BIGINT)) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, v AS value_floor
+FROM s WHERE rn = 1 OR v IS DISTINCT FROM prev
 """,
         "lib_streaming_sessions": """
 WITH o AS (
@@ -3731,6 +4084,56 @@ def _lib_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lib_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState gauge compression (stateful_changes_only)
+    driven to a deterministic emitted set: the events table is split
+    into TWO time-ordered microbatches (first/second half-month by ts),
+    so per-key state genuinely carries the last value ACROSS a
+    microbatch boundary — with time-split input the emitted set equals
+    the batch changes_only operator, which the DuckDB oracle states as
+    the plain lag/IS DISTINCT FROM query."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from cardinalhq_otel_collector_spark.streaming.stateful_agg import (
+        stateful_changes_only,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_schg_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    cut = datetime.datetime(2024, 1, 16)
+    halves = (ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut))
+    now = _t.time()
+    for j, frame in enumerate(halves):
+        tmp = os.path.join(base, f"w{j}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{j:02d}-half.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + 40 * j, now - 100 + 40 * j))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    changes = stateful_changes_only(stream, ["user_id"], "ts", "value", "event_id")
+    (
+        changes.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("event_id", "user_id", "value_floor")
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_marshal_sink": _lib_marshal_sink,
@@ -3740,6 +4143,7 @@ _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_streaming_dedup": _lib_streaming_dedup,
     "lib_streaming_sessions": _lib_streaming_sessions,
     "lib_stream_stream_join": _lib_stream_join,
+    "lib_streaming_changes": _lib_streaming_changes,
 }
 
 

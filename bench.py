@@ -81,6 +81,15 @@ BENCH_QUERIES = [
     "events_paths",
     "doc_remove_boilerplate",
     "transcripts_integrity",
+    # (doc_prefix_jaccard is correctness-board-only: the synthetic docs
+    # corpus is ~20 templates, so >90% of all pairs qualify at tau=0.9 —
+    # a density no real corpus has; timing it would measure output
+    # materialization, not the prefix filter)
+    "events_locf_resample",
+    "events_cms_counts",
+    "events_span_union",
+    "events_exp_histogram",
+    "events_table_diff",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)

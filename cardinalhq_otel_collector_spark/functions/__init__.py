@@ -16,6 +16,7 @@ __all__ = [
     "clamp_int64",
     "json_line",
     "deterministic_bucket",
+    "z_order_key",
 ]
 
 _I64_MAX = 2**63 - 1
@@ -85,3 +86,28 @@ def deterministic_bucket(key: Column, buckets: int) -> Column:
     partitionings, retries, and cluster sizes (probabilisticsampler
     analogue — the reference hashes ids, never RNG)."""
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+
+def z_order_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleaving of two non-negative integer
+    columns into one locality-preserving sort key — the layout
+    optimization behind Delta/Iceberg OPTIMIZE ZORDER: sorting (and
+    therefore range-partitioning files) by the z-key clusters BOTH
+    dimensions, so min/max file pruning works for predicates on either
+    column, not just the leading sort key. At 100 TB this is the
+    difference between a scan that prunes 99% of files on a second
+    dimension and one that reads everything.
+
+    Pure bit arithmetic (shiftleft / bitwise and-or over the low
+    ``bits`` of each input) — a fixed, engine-exact expression tree;
+    inputs are masked to ``bits`` so the key is total-ordered and
+    stable regardless of out-of-range values.
+    """
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return key

@@ -34,6 +34,7 @@ __all__ = [
     "neardup_dedup",
     "edit_distance_pairs",
     "prefix_jaccard_pairs",
+    "source_overlap",
 ]
 
 
@@ -403,4 +404,52 @@ def prefix_jaccard_pairs(
             (F.col("__na") + F.col("__nb") - inter).cast("long").alias("union_size"),
         )
         .where(F.lit(tau_den) * F.col("inter_size") >= F.lit(tau_num) * F.col("union_size"))
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 12,
+) -> DataFrame:
+    """Corpus-overlap matrix: exact char-shingle Jaccard between every
+    pair of SOURCES (not documents) — the data-governance view behind
+    "how much of source A is already in source B" licensing/dedup
+    decisions. Distinct (source, shingle) pairs aggregate the corpus
+    down to vocabulary size FIRST; the pairwise intersection then runs
+    on shingle-grouped source lists, never on documents — so the
+    expensive join is over (shingle, source-pair) rows, bounded by
+    vocab x sources², with the corpus itself scanned once.
+
+    Emits exact integers (inter/union shingle counts) per unordered
+    source pair (a < b).
+    """
+    shingle_pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    ).alias("pos")
+    toks = (
+        df.select(F.col(source_col).alias("src"), F.col(text_col), shingle_pos)
+        .select("src", F.col(text_col).substr(F.col("pos"), F.lit(n)).alias("sh"))
+        .distinct()
+    )
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        toks.select(F.col("src").alias("a"), "sh")
+        .join(toks.select(F.col("src").alias("b"), "sh"), "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col("src").alias("a"), F.col("sz").alias("__na"))
+    sb = sizes.select(F.col("src").alias("b"), F.col("sz").alias("__nb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "inter_size",
+            (F.col("__na") + F.col("__nb") - F.col("inter_size")).alias("union_size"),
+        )
     )

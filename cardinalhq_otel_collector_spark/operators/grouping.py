@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assemble_ordered", "group_by_attrs", "pivot_counts", "rollup_counts", "ntile_buckets"]
+__all__ = ["assemble_ordered", "group_by_attrs", "pivot_counts", "rollup_counts", "ntile_buckets", "percent_rank_scale"]
 
 
 def assemble_ordered(
@@ -114,3 +114,20 @@ def ntile_buckets(
     )
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn("bucket", F.ntile(k).over(w))
+
+
+def percent_rank_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Rank-based feature scaling: ANSI percent_rank = (rank-1)/(n-1)
+    per group — an exact int/int double in both engines, so unlike
+    min-max or z-score scaling it is outlier-immune AND engine-exact
+    with no rounding discipline needed. The ordering is by value
+    ALONE on purpose: ANSI peers (tied values) share a rank, which
+    makes the output deterministic under any physical order — adding
+    a tiebreak would turn rank into row_number and make tied values
+    diverge. One Exchange+Sort."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    return df.withColumn("pr", F.percent_rank().over(w))

@@ -21,6 +21,7 @@ __all__ = [
     "red_metrics",
     "exp_bucket_index",
     "exp_histogram",
+    "histogram_quantile",
 ]
 
 
@@ -133,4 +134,65 @@ def exp_histogram(
         .agg(F.count(F.lit(1)).alias("bucket_count"))
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    bounds: list[float],
+    q_num: int,
+    q_den: int,
+    idx_col: str = "bucket_idx",
+    count_col: str = "bucket_count",
+) -> DataFrame:
+    """PromQL-style histogram_quantile over explicit-bounds bucket
+    counts (the read-side of latency_histogram): find the bucket where
+    the running count crosses q*total, then linearly interpolate inside
+    its [lo, hi] bound span — rank r = q*total computed as an exact
+    integer-scaled target (r_scaled = q_num*total vs cum*q_den, no
+    float rank), interpolation as ONE fixed IEEE expression tree over
+    exact integers and literal bounds, rounded to 6 places
+    (group_percentiles discipline).
+
+    Plan: one window cumsum per (keys) over the config-bounded bucket
+    ordering + a filter taking the first crossing bucket — group-sized
+    partitions, never data-sized. The overflow bucket (idx ==
+    len(bounds)) has no finite upper bound; crossings there clamp to
+    the last finite bound, as PromQL does.
+    """
+    # overflow bucket: lo == hi == last finite bound, so the
+    # interpolation collapses to exactly that bound (PromQL's clamp)
+    lo_expr = F.lit(float(bounds[-1]))
+    hi_expr = F.lit(float(bounds[-1]))
+    for i, b in enumerate(bounds):
+        lo_expr = F.when(F.col(idx_col) == i, F.lit(0.0 if i == 0 else float(bounds[i - 1]))).otherwise(lo_expr)
+        hi_expr = F.when(F.col(idx_col) == i, F.lit(float(b))).otherwise(hi_expr)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("__cum", F.sum(count_col).over(w_cum))
+        .withColumn("__total", F.sum(count_col).over(w_all))
+        .withColumn("__prev", F.col("__cum") - F.col(count_col))
+    )
+    # first bucket whose cumulative count reaches the target rank:
+    # cum*q_den >= total*q_num AND prev*q_den < total*q_num (exact ints)
+    crossing = cum.where(
+        (F.col("__cum") * q_den >= F.col("__total") * q_num)
+        & (F.col("__prev") * q_den < F.col("__total") * q_num)
+    )
+    frac = (
+        F.col("__total").cast("double") * F.lit(q_num / q_den)
+        - F.col("__prev").cast("double")
+    ) / F.col(count_col).cast("double")
+    return crossing.select(
+        *keys,
+        F.col(idx_col),
+        F.round(lo_expr + (hi_expr - lo_expr) * frac, 6).alias(
+            f"p{round(1000 * q_num / q_den)}"
+        ),
     )

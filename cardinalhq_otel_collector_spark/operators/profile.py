@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["skew_report"]
+__all__ = ["skew_report", "psi_drift"]
 
 
 def skew_report(
@@ -44,3 +44,53 @@ def skew_report(
     return report.orderBy(
         F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
     ).limit(top)
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Population Stability Index terms between two snapshots of a
+    value distribution over explicit bucket bounds — the standard
+    ML-ops drift alarm (PSI > 0.2 = retrain). Per bucket:
+    (p_new - p_old) * ln(p_new / p_old), with counts Laplace-smoothed
+    by +1 so empty buckets stay finite (the conventional guard).
+
+    Exactness: bucket counts are integers; each term is ONE fixed IEEE
+    tree over (count+1)/(total+nbuckets) ratios, rounded to 6 places —
+    the pmi_collocations discipline. Two aggregates over bucket-indexed
+    projections (both map-side combined), a tiny full outer join on the
+    bucket id. The comparison-ladder bucketing reuses
+    histogram.bucket_index, so drift bins match the histograms already
+    emitted.
+    """
+    from cardinalhq_otel_collector_spark.operators.histogram import bucket_index
+
+    nb = len(bounds) + 1  # + overflow bucket
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(bucket_index(F.col(value_col), bounds).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    o = _counts(old, "n_old")
+    n = _counts(new, "n_new")
+    t_old = old.count()  # control-plane scalars (two tiny actions)
+    t_new = new.count()
+    j = (
+        o.join(n, "bucket", "full_outer")
+        .withColumn("n_old", F.coalesce("n_old", F.lit(0)))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    p_old = (F.col("n_old") + 1).cast("double") / F.lit(float(t_old + nb))
+    p_new = (F.col("n_new") + 1).cast("double") / F.lit(float(t_new + nb))
+    return j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )

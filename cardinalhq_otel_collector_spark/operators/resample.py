@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["locf_resample"]
+__all__ = ["locf_resample", "changes_only"]
 
 
 def locf_resample(
@@ -89,4 +89,41 @@ def locf_resample(
             F.timestamp_seconds(F.col("__step")).alias("step_start"),
             "value",
         )
+    )
+
+
+def changes_only(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Timeseries delta compression: keep only rows whose
+    (floored-integer) value DIFFERS from the previous observation in
+    the series — the first row always survives. The inverse of
+    locf_resample: LOCF-replaying the kept rows reproduces every
+    sampled step exactly, so at 100 TB a mostly-flat gauge stores a
+    tiny fraction of its raw points with zero information loss (at the
+    floor-integer resolution).
+
+    One lag window per series (single Exchange); null-safe compare so
+    NULL runs also compress.
+    """
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    v = F.floor(F.col(value_col)).cast("long")
+    flagged = (
+        df.withColumn("__v", v)
+        .withColumn("__prev", F.lag("__v").over(w))
+        # row number must be materialized: window functions are not
+        # allowed inside WHERE, and "__prev IS NULL" cannot stand in for
+        # "first row" (a NULL-valued predecessor also yields NULL)
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return (
+        flagged.where(
+            (F.col("__rn") == 1) | ~F.col("__v").eqNullSafe(F.col("__prev"))
+        )
+        .drop("__prev", "__rn")
+        .withColumnRenamed("__v", "value_floor")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining", "reply_latency_stats"]
+__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining", "reply_latency_stats", "basket_lift", "run_length_encode"]
 
 
 def sessionize(
@@ -224,4 +224,84 @@ def reply_latency_stats(
         (F.sum("__gap").cast("double") / F.count("__gap").cast("double")).alias(
             "mean_gap_us"
         ),
+    )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket co-occurrence with EXACT integer lift: for every
+    unordered item pair, how many baskets contain both, with lift
+    rendered as parts-per-million of n_ab*total/(n_a*n_b) via integer
+    division — no float probabilities anywhere, so the association
+    strength is engine-exact. (Support/lift are THE correlation
+    primitives for "alerts that fire together" / "tools used
+    together" telemetry questions.)
+
+    Plan: distinct (basket, item) → per-item basket counts (tiny) +
+    pair counts via a self equi-join on the basket key — the join is
+    per-basket items², never baskets², and hot baskets are bounded by
+    the item vocabulary.
+    """
+    b = (
+        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("it"))
+        .where(F.col("it").isNotNull())
+        .distinct()
+    )
+    total = b.select("bk").distinct().count()  # control-plane scalar
+    item_n = b.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        b.select("bk", F.col("it").alias("a"))
+        .join(b.select("bk", F.col("it").alias("b")), "bk")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = item_n.select(F.col("it").alias("a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("it").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.expr(f"n_ab * {int(total)}L * 1000000L div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+def run_length_encode(
+    df: DataFrame,
+    by: list[str],
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Run-length encoding of a state sequence per entity: consecutive
+    equal states collapse to one (entity, run_idx, state, run_len,
+    first/last id) row — the state-machine compression for "how long
+    did the service stay degraded" questions and the inverse-free twin
+    of changes_only (which keeps rows; this emits runs). Gaps-and-
+    islands: one lag + one running sum + one aggregate, all sharing
+    the entity partitioning."""
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.col(state_col).eqNullSafe(F.lag(state_col).over(w)), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__run", F.sum("__new").over(w_run))
+    return (
+        flagged.groupBy(*by, "__run")
+        .agg(
+            F.max(state_col).alias("state"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+        )
+        .withColumnRenamed("__run", "run_idx")
     )

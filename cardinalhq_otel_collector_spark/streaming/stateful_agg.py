@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_interval_counts"]
+__all__ = ["stateful_interval_counts", "stateful_changes_only"]
 
 # state: parallel arrays of open buckets (start ms, count, sum)
 _STATE_SCHEMA = T.StructType(
@@ -127,5 +127,94 @@ def stateful_interval_counts(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_CHG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("has_last", T.LongType(), True),
+        T.StructField("last_is_null", T.LongType(), True),
+        T.StructField("last_v", T.LongType(), True),
+    ]
+)
+
+
+def stateful_changes_only(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming twin of resample.changes_only: per key, emit a row only
+    when its floored value DIFFERS from the last emitted observation —
+    the stateful gauge-compression an OTel pipeline applies at the edge
+    so a flat gauge costs nothing downstream. GroupState holds exactly
+    one (value) per key — O(keys) state, no timeout needed (a gauge's
+    last value never stops being the comparison point; deployments can
+    bolt a TTL on top when key churn demands it).
+
+    Rows are ordered by (ts, id) WITHIN each microbatch (vectorized
+    pandas sort, no per-row Python); cross-batch order is the file
+    source's time order, so with time-split input the emitted set
+    equals the batch operator exactly — which is how the oracle checks
+    it (lib_streaming_changes).
+    """
+    key_types = [stream.schema[k].dataType for k in key_cols]
+    out_schema = T.StructType(
+        [T.StructField(k, t, True) for k, t in zip(key_cols, key_types)]
+        + [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("value_floor", T.LongType(), True),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        import numpy as np
+
+        raw = pdf[value_col]
+        vs = pd.Series(
+            np.floor(raw.to_numpy(dtype="float64")), dtype="Float64"
+        ).astype("Int64")
+        vs[raw.isna().to_numpy()] = pd.NA
+        prev = vs.shift(1)
+        if state.exists:
+            _has, last_is_null, last_v = state.get
+            prev.iloc[0] = pd.NA if last_is_null else last_v
+            first_row_unconditional = False
+        else:
+            first_row_unconditional = True
+        # null-safe inequality, fully vectorized on the nullable dtype
+        both_na = vs.isna() & prev.isna()
+        one_na = vs.isna() ^ prev.isna()
+        changed = ((vs != prev).fillna(False) | one_na) & ~both_na
+        if first_row_unconditional:
+            changed.iloc[0] = True
+        last = vs.iloc[-1]
+        state.update((1, 1 if pd.isna(last) else 0, 0 if pd.isna(last) else int(last)))
+        if changed.any():
+            sel = pdf.loc[changed.to_numpy()]
+            data = {k: [kv] * len(sel) for k, kv in zip(key_cols, key)}
+            data["event_id"] = sel[id_col].to_list()
+            data["value_floor"] = pd.array(vs[changed.to_numpy()], dtype="Int64")
+            yield pd.DataFrame(data)
+
+    return (
+        stream.groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_CHG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -1,0 +1,133 @@
+"""Batch-12 operators: source overlap, basket lift, percent rank, RLE."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cardinalhq_otel_collector_spark.operators.dedup import source_overlap
+from cardinalhq_otel_collector_spark.operators.grouping import percent_rank_scale
+from cardinalhq_otel_collector_spark.operators.sessionize import (
+    basket_lift,
+    run_length_encode,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# -------------------------------------------------------- source overlap
+
+def test_source_overlap_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            ("s1", "abcdefghijklmnop"),          # shingles of len 12: 5
+            ("s2", "abcdefghijklmnop"),          # identical -> inter = union
+            ("s3", "zzzzzzzzzzzzzzzz"),          # disjoint from s1/s2
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.a, r.b): (r.inter_size, r.union_size)
+        for r in source_overlap(docs).collect()
+    }
+    assert got[("s1", "s2")] == (5, 5)
+    assert ("s1", "s3") not in got  # zero-intersection pairs are absent
+    assert ("s2", "s3") not in got
+
+
+# ----------------------------------------------------------- basket lift
+
+def test_basket_lift_hand_computed(spark):
+    # 4 baskets; a in 3, b in 2, {a,b} together in 2 -> lift = 2*4/(3*2) = 1.333
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {(r.a, r.b): r for r in basket_lift(df, "bk", "it").collect()}
+    r = got[("a", "b")]
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.lift_ppm == 2 * 4 * 1_000_000 // (3 * 2)  # 1333333
+
+
+def test_basket_lift_duplicates_in_basket_count_once(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    r = basket_lift(df, "bk", "it").collect()[0]
+    assert r.n_ab == 2 and r.n_a == 2  # distinct per basket
+
+
+# ---------------------------------------------------------- percent rank
+
+def test_percent_rank_peers_share_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "t", 1.0), (2, "t", 2.0), (3, "t", 2.0), (4, "t", 3.0)],
+        "event_id long, k string, value double",
+    )
+    got = {r.event_id: r.pr for r in percent_rank_scale(df, "value", ["k"]).collect()}
+    assert got[1] == 0.0
+    assert got[2] == got[3] == 1 / 3  # peers
+    assert got[4] == 1.0
+
+
+# -------------------------------------------------------------------- RLE
+
+def test_rle_collapses_runs(spark):
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:01"), "up"),
+        (2, 1, _ts("2024-01-01 00:00:02"), "up"),
+        (3, 1, _ts("2024-01-01 00:00:03"), "down"),
+        (4, 1, _ts("2024-01-01 00:00:04"), "up"),
+        (5, 2, _ts("2024-01-01 00:00:05"), "up"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, state string")
+    got = {
+        (r.user_id, r.run_idx): (r.state, r.run_len, r.first_id, r.last_id)
+        for r in run_length_encode(df, ["user_id"], "state", "ts", "event_id").collect()
+    }
+    assert got == {
+        (1, 1): ("up", 2, 1, 2),
+        (1, 2): ("down", 1, 3, 3),
+        (1, 3): ("up", 1, 4, 4),
+        (2, 1): ("up", 1, 5, 5),
+    }
+
+
+# --------------------------------------------------- rolling KMV sketch
+
+def test_kmv_rolling_merges_windows(spark):
+    from cardinalhq_otel_collector_spark.operators.sketch import kmv_rolling_distinct
+
+    # day 1: users 0-9; day 5: users 5-14; day 20: users 0-4.
+    rows = (
+        [(u, _ts("2024-01-01 10:00:00")) for u in range(10)]
+        + [(u, _ts("2024-01-05 10:00:00")) for u in range(5, 15)]
+        + [(u, _ts("2024-01-20 10:00:00")) for u in range(5)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day.day: r.est_distinct for r in kmv_rolling_distinct(df, "user_id", "ts", k=64).collect()}
+    # windows: day1 sees {0..9}=10; day5 sees day1+day5 = {0..14}=15;
+    # day20 sees only itself = 5 (window is 7 days)
+    assert got == {1: 10, 5: 15, 20: 5}
+
+
+def test_kmv_rolling_estimates_match_plain_kmv_on_union(spark):
+    from cardinalhq_otel_collector_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_rolling_distinct,
+    )
+
+    # all events within one window -> the rolling estimate for the last
+    # day equals the plain sketch over the union (merge property)
+    rows = [(u, _ts(f"2024-01-0{d} 10:00:00")) for d in range(1, 6) for u in range(d * 40)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    rolling = {
+        r.day.day: r.est_distinct
+        for r in kmv_rolling_distinct(df, "user_id", "ts", k=32).collect()
+    }
+    plain = (
+        kmv_distinct(df.select(F.lit("g").alias("g"), "user_id"), "user_id", ["g"], k=32)
+        .collect()[0]
+        .est_distinct
+    )
+    assert rolling[5] == plain
