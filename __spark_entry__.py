@@ -2467,6 +2467,49 @@ SELECT day, n_kept,
 FROM k
 """
 
+# k-anonymity oracle: identical quasi-identifier derivation (the /50
+# banding is one IEEE double division + floor — engine-exact), HAVING
+# under k.
+_K_ANON_DUCK = """
+SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+"""
+
+# Coverage-gaps oracle: identical integer step bucketing and per-entity
+# inclusive grid, missing = grid minus observed.
+_COVERAGE_GAPS_DUCK = """
+WITH o AS (SELECT DISTINCT user_id,
+             (epoch_us(ts) // 1000000 // 21600) * 21600 AS s
+           FROM events),
+b AS (SELECT user_id, MIN(s) AS lo, MAX(s) AS hi FROM o GROUP BY 1),
+g AS (SELECT user_id, CAST(r.x AS BIGINT) AS s
+      FROM b, unnest(range(b.lo, b.hi + 21600, 21600)) AS r(x))
+SELECT g.user_id, make_timestamp(g.s * 1000000) AS missing_step
+FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.s = g.s
+WHERE o.user_id IS NULL
+"""
+
+# Kappa oracle: identical label derivation, exact integer marginal
+# mass, identical truncating integer division for the ppm rendering.
+_KAPPA_DUCK = """
+WITH p AS (SELECT event_type AS a,
+             CASE WHEN event_id % 10 = 0 THEN 'view' ELSE event_type END AS b
+           FROM events
+           WHERE event_type IS NOT NULL),
+t AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE a = b) AS agree FROM p),
+ma AS (SELECT a, COUNT(*) AS n FROM p GROUP BY 1),
+mb AS (SELECT b, COUNT(*) AS n FROM p GROUP BY 1),
+c AS (SELECT CAST(SUM(ma.n * mb.n) AS BIGINT) AS chance
+      FROM ma JOIN mb ON ma.a = mb.b)
+SELECT t.n AS n_pairs, t.agree AS n_agree, c.chance AS chance_mass,
+  CAST(t.agree * t.n - c.chance AS BIGINT) AS kappa_num,
+  CAST(t.n * t.n - c.chance AS BIGINT) AS kappa_den,
+  CAST((t.agree * t.n - c.chance) * 1000000
+       // (t.n * t.n - c.chance) AS BIGINT) AS kappa_ppm
+FROM t, c
+"""
+
 # PMI oracle: positional bigrams via list indexing (no window), the
 # SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
 # the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
@@ -3455,6 +3498,49 @@ def q_events_kmv_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_rolling_distinct(ev, "user_id", "ts", k=64, window_days=7)
 
 
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=3) over the quasi-identifier triple
+    (event_type, 50-wide value band, day): every combination held by
+    fewer than 3 rows — exactly what a privacy-safe release must
+    suppress or generalize. One map-side-combined aggregate."""
+    from cardinalhq_otel_collector_spark.operators.validate import (
+        k_anonymity_violations,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("band"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    return k_anonymity_violations(ev, ["event_type", "band", "d"], k=3)
+
+
+def q_events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness report: per user, every 6-hour bucket between
+    their first and last event with NO data (grid minus observed via a
+    left anti join on the shared key)."""
+    from cardinalhq_otel_collector_spark.operators.validate import coverage_gaps
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    return coverage_gaps(ev, ["user_id"], "ts", step_seconds=21600)
+
+
+def q_events_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement over two deterministic label columns
+    (annotator B flips every 10th event to 'view'): Cohen's kappa as
+    exact integer numerator/denominator plus a truncating-division ppm
+    rendering — the label-quality gate as data."""
+    from cardinalhq_otel_collector_spark.operators.validate import cohen_kappa
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("b"),
+    )
+    return cohen_kappa(ev, "a", "b")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3555,6 +3641,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rle": q_events_rle,
     "tpch_q3": q_tpch_q3,
     "events_kmv_rolling": q_events_kmv_rolling,
+    "events_k_anonymity": q_events_k_anonymity,
+    "events_coverage_gaps": q_events_coverage_gaps,
+    "events_cohen_kappa": q_events_cohen_kappa,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3666,6 +3755,9 @@ def _oracles() -> dict[str, str]:
         "events_rle": _RLE_DUCK,
         "tpch_q3": _TPCH_Q3_DUCK,
         "events_kmv_rolling": _KMV_ROLLING_DUCK,
+        "events_k_anonymity": _K_ANON_DUCK,
+        "events_coverage_gaps": _COVERAGE_GAPS_DUCK,
+        "events_cohen_kappa": _KAPPA_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transcript_integrity"]
+__all__ = ["transcript_integrity", "k_anonymity_violations", "coverage_gaps", "cohen_kappa"]
 
 
 def transcript_integrity(
@@ -69,4 +69,99 @@ def transcript_integrity(
         (F.col("n_idx_breaks") == 0)
         & (F.col("n_role_repeats") == 0)
         & (F.col("n_ts_regressions") == 0),
+    )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Privacy audit for training-data release: every quasi-identifier
+    combination held by FEWER than k rows (the k-anonymity rule —
+    small groups re-identify individuals; Sweeney 2002). One hash
+    aggregate over the quasi-identifier key (map-side combined), a
+    comparison, nothing else — the audit costs one groupBy at any
+    scale, and the violating groups are exactly the rows a release
+    pipeline must suppress or generalize.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < k)
+    )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Data-freshness/completeness report: for each entity, every step
+    bucket between its first and last observation with NO data — the
+    'which hours are missing' ops question behind ingest monitoring.
+    Grid via sequence+explode per entity (rows = entities x steps,
+    never a cross join), observed buckets via one aggregate, missing =
+    left anti join on the shared (entity, step) key.
+    """
+    step_of = F.expr(
+        f"(unix_timestamp({ts_col}) div {int(step_seconds)}) * {int(step_seconds)}L"
+    )
+    observed = df.select(*by, step_of.alias("__step")).distinct()
+    bounds = observed.groupBy(*by).agg(
+        F.min("__step").alias("__lo"), F.max("__step").alias("__hi")
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(step_seconds)))
+        ).alias("__step"),
+    )
+    return grid.join(observed, [*by, "__step"], "left_anti").select(
+        *by, F.timestamp_seconds(F.col("__step")).alias("missing_step")
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    label_a_col: str,
+    label_b_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement as EXACT integers: Cohen's kappa =
+    (po - pe) / (1 - pe) over two label columns, computed as the
+    integer ratio (agree*N - Σ_c na_c*nb_c) / (N² - Σ_c na_c*nb_c) —
+    counts never leave integer space, the ppm rendering is integer
+    division, so the label-quality gate is engine-exact. Two tiny
+    aggregates (per-label marginals + agreement count); the join of
+    marginals is over the label vocabulary.
+    """
+    pairs = df.select(
+        F.col(label_a_col).alias("__a"), F.col(label_b_col).alias("__b")
+    ).where(F.col(label_a_col).isNotNull() & F.col(label_b_col).isNotNull())
+    n_total = pairs.count()  # control-plane scalar
+    agree = pairs.where(F.col("__a") == F.col("__b")).count()
+    ma = pairs.groupBy("__a").agg(F.count(F.lit(1)).alias("na"))
+    mb = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("nb"))
+    chance = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+    num = agree * n_total - chance
+    den = n_total * n_total - chance
+    if den:
+        # truncate toward zero, NOT Python floor: kappa can be negative
+        # (worse than chance), and SQL integer division (DuckDB //,
+        # Spark div) truncates — floor would differ by 1 there
+        q = (abs(num) * 1_000_000) // den
+        kappa_ppm = q if num >= 0 else -q
+    else:
+        kappa_ppm = None
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_total, agree, int(chance), int(num), int(den), kappa_ppm)],
+        "n_pairs long, n_agree long, chance_mass long, kappa_num long, "
+        "kappa_den long, kappa_ppm long",
     )

@@ -131,3 +131,50 @@ def test_kmv_rolling_estimates_match_plain_kmv_on_union(spark):
         .est_distinct
     )
     assert rolling[5] == plain
+
+
+# ------------------------------------------------ k-anonymity / gaps / kappa
+
+def test_k_anonymity_flags_small_groups(spark):
+    from cardinalhq_otel_collector_spark.operators.validate import (
+        k_anonymity_violations,
+    )
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "qi1 string, qi2 long")
+    got = {(r.qi1, r.qi2): r.n for r in k_anonymity_violations(df, ["qi1", "qi2"], 3).collect()}
+    assert got == {("b", 1): 2, ("c", 2): 1}
+
+
+def test_coverage_gaps_finds_missing_buckets(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.validate import coverage_gaps
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 30)),
+            (1, dt.datetime(2024, 1, 1, 3, 10)),  # hours 1, 2 missing
+            (2, dt.datetime(2024, 1, 1, 5, 0)),   # single bucket, no gaps
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = sorted(
+        (r.user_id, r.missing_step.hour)
+        for r in coverage_gaps(df, ["user_id"], "ts", 3600).collect()
+    )
+    assert got == [(1, 1), (1, 2)]
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from cardinalhq_otel_collector_spark.operators.validate import cohen_kappa
+
+    perfect = spark.createDataFrame([("x", "x"), ("y", "y")], "a string, b string")
+    r = cohen_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa_ppm == 1_000_000
+    # worse than chance: systematic disagreement on a balanced 2-label set
+    worst = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")], "a string, b string"
+    )
+    r = cohen_kappa(worst, "a", "b").collect()[0]
+    assert r.n_agree == 0 and r.kappa_ppm < 0
