@@ -2510,6 +2510,95 @@ SELECT t.n AS n_pairs, t.agree AS n_agree, c.chance AS chance_mass,
 FROM t, c
 """
 
+# FK-orphans oracle: identical corruption rule, NOT EXISTS as the anti
+# join.
+_FK_ORPHANS_DUCK = """
+WITH child AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS o_custkey
+               FROM orders)
+SELECT c.o_orderkey, c.o_custkey FROM child c
+WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)
+"""
+
+# Seasonality oracle: DuckDB dayofweek is 0-based Sunday, Spark's is
+# 1-based Sunday — +1 aligns; medians follow the quantile_cont round-6
+# discipline.
+_SEASONALITY_DUCK = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+       COUNT(*) AS n, ROUND(quantile_cont(value, 0.5), 6) AS median
+FROM events GROUP BY 1, 2
+"""
+
+# BM25 oracle: generated from the same Python float constants (repr ->
+# identical doubles), the same conditional-count tf/df integers, and
+# the same left-associative score tree: ln(1 + (N-df+0.5)/(df+0.5)) *
+# (tf*(k1+1)) / (tf + k1*(1 - b + b*(len/(total_len/N)))), summed in
+# literal term order, round-6, unique (score DESC, doc_id) top-20 cut.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _bm25_duck() -> str:
+    terms = _BM25_TERMS
+    tf_cols = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE token = '{t}') AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))
+    )
+    k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    score = " + ".join(
+        f"(ln(1.0 + (CAST(N AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * (CAST(len AS DOUBLE) / (CAST(total_len AS DOUBLE)"
+        f" / CAST(N AS DOUBLE))))))"
+        for i in range(len(terms))
+    )
+    tf_out = ", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(terms))
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, token
+              FROM documents d, unnest(str_split(d.text, ' ')) AS s(token)
+              WHERE token <> ''),
+pd AS (SELECT doc_id, COUNT(*) AS len,
+           {tf_cols}
+       FROM toks GROUP BY 1),
+st AS (SELECT COUNT(*) AS N, CAST(SUM(len) AS BIGINT) AS total_len,
+           {df_cols}
+       FROM pd)
+SELECT doc_id, {tf_out}, CAST(len AS BIGINT) AS doc_len,
+       ROUND({score}, 6) AS bm25
+FROM pd, st
+WHERE {any_hit}
+ORDER BY ({score}) DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+_BM25_DUCK = _bm25_duck()
+
+# Negative-samples oracle: identical 52-bit md5 bucket ring, identical
+# min-id representatives, identical rejection of self-draws.
+_NEG_SAMPLES_DUCK = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+reps AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) % 64 AS b,
+                MIN(doc_id) AS neg_id
+         FROM ids GROUP BY 1),
+probes AS (SELECT doc_id, CAST(t.j AS INT) AS j,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                      || CAST(t.j AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 64 AS b
+           FROM ids, unnest([0, 1, 2]) AS t(j))
+SELECT p.doc_id, p.j, r.neg_id
+FROM probes p JOIN reps r USING (b)
+WHERE r.neg_id <> p.doc_id
+"""
+
 # PMI oracle: positional bigrams via list indexing (no window), the
 # SAME fixed IEEE tree ln(c12·N / (c1·c2)) on exact integer counts, and
 # the identical unique (pmi DESC, w1, w2) ordering for the top-k cut.
@@ -3541,6 +3630,58 @@ def q_events_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(ev, "a", "b")
 
 
+def q_orders_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders whose (deterministically
+    corrupted — +1e6 on every 97th orderkey) customer key has no
+    parent row; one LEFT ANTI join, parent side broadcastable."""
+    from cardinalhq_otel_collector_spark.operators.validate import fk_violations
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(97)) == 0,
+            F.col("o_custkey") + F.lit(1_000_000),
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    return fk_violations(orders, cust, ["o_custkey"], ["c_custkey"])
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality grid: per (day-of-week, hour) cell,
+    count + exact interpolated median value — the baseline behind
+    'is this Tuesday 3pm normal'."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import (
+        seasonality_profile,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("ts", "value")
+    return seasonality_profile(ev, "ts", "value")
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed term list — the lexical
+    retrieval baseline beside the embedding ANN ladder; integer term
+    frequencies in one aggregate, corpus stats broadcast, one fixed
+    IEEE score tree, Lucene non-negative idf."""
+    from cardinalhq_otel_collector_spark.operators.textstats import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, topk=20)
+
+
+def q_doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 3 per document via the
+    md5 bucket ring (bucket representative = min id) — no RNG, no
+    global index, corpus never shuffles."""
+    from cardinalhq_otel_collector_spark.operators.sampling import negative_samples
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(docs, "doc_id", k=3, buckets=64)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3644,6 +3785,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_k_anonymity": q_events_k_anonymity,
     "events_coverage_gaps": q_events_coverage_gaps,
     "events_cohen_kappa": q_events_cohen_kappa,
+    "orders_fk_orphans": q_orders_fk_orphans,
+    "events_seasonality": q_events_seasonality,
+    "doc_bm25": q_doc_bm25,
+    "doc_negative_samples": q_doc_negative_samples,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3758,6 +3903,10 @@ def _oracles() -> dict[str, str]:
         "events_k_anonymity": _K_ANON_DUCK,
         "events_coverage_gaps": _COVERAGE_GAPS_DUCK,
         "events_cohen_kappa": _KAPPA_DUCK,
+        "orders_fk_orphans": _FK_ORPHANS_DUCK,
+        "events_seasonality": _SEASONALITY_DUCK,
+        "doc_bm25": _BM25_DUCK,
+        "doc_negative_samples": _NEG_SAMPLES_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -37,6 +37,7 @@ __all__ = [
     "winsorize",
     "mad_outliers",
     "time_weighted",
+    "seasonality_profile",
 ]
 
 
@@ -354,4 +355,29 @@ def time_weighted(
             ).otherwise(F.lit(0))
         ).alias("weighted_sum"),
         (F.max("__t") - F.min("__t")).alias("duration_us"),
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hour-of-week seasonality: per (day-of-week, hour-of-day) cell,
+    row count and exact interpolated median (round-6, the
+    group_percentiles discipline) — the baseline grid behind 'is this
+    Tuesday 3pm normal' anomaly questions. 168 output cells; one
+    map-side-combinable aggregate over projected calendar fields
+    (UTC-pinned session, so the cells are engine-portable)."""
+    return (
+        df.select(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hod"),
+            F.col(value_col),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias("median"),
+        )
     )

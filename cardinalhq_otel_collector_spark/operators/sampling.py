@@ -25,6 +25,7 @@ __all__ = [
     "heavy_hitters",
     "weighted_sample",
     "decimate",
+    "negative_samples",
 ]
 
 
@@ -254,4 +255,44 @@ def decimate(
         df.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") - 1) % n == 0)
         .drop("__rn")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each id and j in [0, k), hash (id, j) onto a bucket ring and take
+    that bucket's representative (its min id) as the j-th negative —
+    no RNG, no global index, no shuffle of the corpus. The bucket →
+    representative table is at most ``buckets`` rows and broadcasts;
+    pairs whose draw lands on the anchor itself (or an empty bucket)
+    are dropped, the standard rejection rule.
+
+    Hash contract: the shared 52-bit md5 space (kmv/cms/weighted-
+    sample discipline), reproducible verbatim by the oracle.
+    """
+    h52 = lambda c: F.conv(  # noqa: E731 — local shorthand, same contract as sketch._hash52
+        F.substring(F.md5(c.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    ids = df.select(id_col).distinct()
+    reps = (
+        ids.select(id_col, (h52(F.col(id_col)) % buckets).alias("__b"))
+        .groupBy("__b")
+        .agg(F.min(id_col).alias("neg_id"))
+    )
+    probes = ids.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    ).withColumn(
+        "__b",
+        h52(F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("j").cast("string")))
+        % buckets,
+    )
+    return (
+        probes.join(F.broadcast(reps), "__b")
+        .where(F.col("neg_id") != F.col(id_col))
+        .select(id_col, "j", "neg_id")
     )

@@ -24,6 +24,7 @@ __all__ = [
     "pmi_collocations",
     "token_entropy",
     "remove_high_df_tokens",
+    "bm25_topk",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -471,4 +472,78 @@ def remove_high_df_tokens(
             F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k documents by BM25 for a FIXED term list (Robertson/
+    Sparck Jones; the Lucene idf form ln(1 + (N-df+0.5)/(df+0.5)),
+    which never goes negative). The classic lexical retrieval baseline
+    next to the embedding ANN ladder.
+
+    Determinism: term frequencies are conditional counts in ONE hash
+    aggregate (exact integers, one fixed column per term — never a
+    float sum over a data-dependent order); corpus stats (N, total
+    length, per-term document frequencies) ride in as a one-row
+    broadcast; the score is one fixed IEEE expression tree per
+    document, summed over terms in literal term order, rounded to 6
+    places. Top-k is TakeOrdered on (score DESC, id) — unique, never
+    a global sort.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).where(F.col("__w") != "")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__len"),
+        *[
+            F.sum(F.when(F.col("__w") == t, 1).otherwise(0)).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("__len").alias("__total_len"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    avg_len = F.col("__total_len").cast("double") / F.col("__N").cast("double")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N").cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__len").cast("double") / avg_len)
+        )
+        term_score = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = term_score if score is None else (score + term_score)
+    any_hit = None
+    for i in range(len(terms)):
+        c = F.col(f"__tf{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    ranked = (
+        scored.where(any_hit)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+    return ranked.select(
+        id_col,
+        *[F.col(f"__tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+        F.col("__len").alias("doc_len"),
+        F.round(F.col("__score"), 6).alias("bm25"),
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transcript_integrity", "k_anonymity_violations", "coverage_gaps", "cohen_kappa"]
+__all__ = ["transcript_integrity", "k_anonymity_violations", "coverage_gaps", "cohen_kappa", "fk_violations"]
 
 
 def transcript_integrity(
@@ -165,3 +165,22 @@ def cohen_kappa(
         "n_pairs long, n_agree long, chance_mass long, kappa_num long, "
         "kappa_den long, kappa_ppm long",
     )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: list[str],
+    parent_keys: list[str],
+) -> DataFrame:
+    """Referential-integrity audit: child rows whose foreign key has no
+    parent — one LEFT ANTI hash join, which Catalyst executes with the
+    parent side broadcast when it fits (dimension-sized parents never
+    shuffle the fact table). NULL foreign keys are reported too (an
+    anti join keeps them, matching the 'orphan' reading: no parent row
+    matches a NULL key)."""
+    cond = None
+    for ck, pk in zip(child_keys, parent_keys):
+        c = child[ck] == parent[pk]
+        cond = c if cond is None else (cond & c)
+    return child.join(parent, cond, "left_anti")

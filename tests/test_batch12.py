@@ -178,3 +178,60 @@ def test_cohen_kappa_perfect_and_chance(spark):
     )
     r = cohen_kappa(worst, "a", "b").collect()[0]
     assert r.n_agree == 0 and r.kappa_ppm < 0
+
+
+# --------------------------------------- fk audit / seasonality / bm25 / negatives
+
+def test_fk_violations_orphans_and_nulls(spark):
+    from cardinalhq_otel_collector_spark.operators.validate import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    got = sorted(r.id for r in fk_violations(child, parent, ["fk"], ["pk"]).collect())
+    assert got == [2, 3]  # orphan AND null-key rows are reported
+
+
+def test_seasonality_cells(spark):
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.aggregate import seasonality_profile
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 7, 10, 0), 1.0),   # Sunday -> dow 1
+            (dt.datetime(2024, 1, 7, 10, 30), 3.0),
+            (dt.datetime(2024, 1, 8, 10, 0), 5.0),   # Monday -> dow 2
+        ],
+        "ts timestamp, value double",
+    )
+    got = {(r.dow, r.hod): (r.n, r.median) for r in seasonality_profile(df, "ts", "value").collect()}
+    assert got == {(1, 10): (2, 2.0), (2, 10): (1, 5.0)}
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["spark"], topk=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0].bm25 > rows[1].bm25 > 0
+    assert rows[0].tf_spark == 3 and rows[0].doc_len == 5
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from cardinalhq_otel_collector_spark.operators.sampling import negative_samples
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    a = {(r.doc_id, r.j, r.neg_id) for r in negative_samples(df, "doc_id", k=2, buckets=16).collect()}
+    b = {(r.doc_id, r.j, r.neg_id) for r in negative_samples(df, "doc_id", k=2, buckets=16).collect()}
+    assert a == b and len(a) > 50
+    assert all(d != n for d, _, n in a)
