@@ -2898,6 +2898,40 @@ scored AS (
 SELECT qid, vec_id, cosine, rn AS nn_rank FROM scored WHERE rn <= 3
 """
 
+# ANN-recall oracle: COMPOSES the two existing independent oracles
+# (exact brute force, banded LSH) as subqueries and counts the overlap
+# — the evaluation metric is itself oracle-checked end to end.
+_ANN_RECALL_DUCK = f"""
+WITH exact AS (SELECT qid, vec_id FROM ({_ANN_DUCK}) t),
+approx AS (SELECT qid, vec_id FROM ({_ANN_LSH_DUCK}) t)
+SELECT e.qid, COUNT(*) AS n_exact,
+  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit
+FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+# Surprisal oracle: identical integer tf/cf/T, identical per-occurrence
+# tf*ln(T/cf) tree cast to DECIMAL(28,12) BEFORE the per-doc sum
+# (exact commutative addition — float sums are partition-order-
+# dependent), single rounded double division.
+_SURPRISAL_DUCK = """
+WITH toks AS (SELECT doc_id, token AS w
+              FROM documents d, unnest(str_split(d.text, ' ')) AS s(token)
+              WHERE token <> ''),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY 1),
+t AS (SELECT CAST(SUM(cf) AS BIGINT) AS T FROM cf)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST(t.T AS DOUBLE) / CAST(cf.cf AS DOUBLE))
+                 AS DECIMAL(28,12))) AS DOUBLE)
+        / CAST(SUM(tf.tf) AS DOUBLE), 6) AS mean_surprisal
+FROM tf JOIN cf USING (w), t
+GROUP BY 1
+"""
+
+
 def _ivf_duck(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 3) -> str:
     """IVF oracle: the same deterministic k-means (md5-seeded init, fixed
     Lloyd rounds, decimal-exact sums, cid tiebreaks) unrolled as CTEs."""
@@ -3682,6 +3716,35 @@ def q_doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(docs, "doc_id", k=3, buckets=64)
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the banded hyperplane LSH against exact brute-force
+    cosine — the acceptance metric every ANN index ships with, as an
+    oracle-checked query (the oracle composes the two independent ANN
+    oracles and counts overlap)."""
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, emb, k=3).select("qid", "vec_id")
+    approx = lsh_topk(q, emb, k=3, bits=4, n_bands=2).select("qid", "vec_id")
+    return ann_recall(exact, approx)
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean unigram surprisal
+    against the corpus MLE — decimal-accumulated so the sum is
+    partition-order-independent; the text-quality filter's cheap
+    stand-in for an LM."""
+    from cardinalhq_otel_collector_spark.operators.textstats import unigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_surprisal(docs)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3789,6 +3852,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonality": q_events_seasonality,
     "doc_bm25": q_doc_bm25,
     "doc_negative_samples": q_doc_negative_samples,
+    "ann_recall_eval": q_ann_recall_eval,
+    "doc_surprisal": q_doc_surprisal,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3907,6 +3972,8 @@ def _oracles() -> dict[str, str]:
         "events_seasonality": _SEASONALITY_DUCK,
         "doc_bm25": _BM25_DUCK,
         "doc_negative_samples": _NEG_SAMPLES_DUCK,
+        "ann_recall_eval": _ANN_RECALL_DUCK,
+        "doc_surprisal": _SURPRISAL_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -32,6 +32,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "embedding_neardup_pairs",
+    "ann_recall",
 ]
 
 
@@ -427,4 +428,33 @@ def lsh_topk(
         .filter(F.col("nn_rank") <= k)
         .withColumn("cosine", F.round("cosine", 6))
         .select("qid", id_col, "cosine", "nn_rank")
+    )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k evaluation of an approximate neighbor list against the
+    exact one — THE acceptance metric for any ANN deployment (you
+    never ship an LSH/IVF index without measuring what fraction of
+    true neighbors it returns). Exact integer counts per query: size
+    of the true set, and how many of them the approximate list hit.
+    One left join on (query, neighbor) + one aggregate; both inputs
+    are top-k-sized, so this is control-plane cheap no matter how big
+    the corpus behind them was.
+    """
+    e = exact.select(F.col(qid_col).alias("qid"), F.col(id_col).alias("__id"))
+    a = approx.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("__id"), F.lit(1).alias("__hit")
+    )
+    return (
+        e.join(a, ["qid", "__id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
     )

@@ -25,6 +25,7 @@ __all__ = [
     "token_entropy",
     "remove_high_df_tokens",
     "bm25_topk",
+    "unigram_surprisal",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -546,4 +547,54 @@ def bm25_topk(
         *[F.col(f"__tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
         F.col("__len").alias("doc_len"),
         F.round(F.col("__score"), 6).alias("bm25"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: mean unigram surprisal
+    -(1/n)·Σ ln p(w) per document, with p(w) the corpus unigram MLE —
+    the cheap stand-in for an LM perplexity filter (high = rare-token
+    soup, low = repetitive boilerplate; both tails get filtered in
+    corpus prep).
+
+    Determinism: token and corpus counts are exact integers; each
+    occurrence's surprisal tf·ln(T/cf) is ONE fixed IEEE tree, cast to
+    DECIMAL(28,12) BEFORE the per-document sum — decimal addition is
+    exact and commutative, so the sum is partition-order-independent
+    (the float-sum trap every naive implementation hits); the mean is
+    a single double division rounded to 6.
+
+    Plan: one (doc, token) count aggregate, a token-frequency join
+    (shuffle on token — the vocabulary), a one-row broadcast total,
+    one final per-doc aggregate.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).where(F.col("__w") != "")
+    tf = toks.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    cf = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__cf"))
+    total = cf.agg(F.sum("__cf").alias("__T"))
+    term = (
+        F.col("__tf").cast("double")
+        * F.log(F.col("__T").cast("double") / F.col("__cf").cast("double"))
+    ).cast("decimal(28,12)")
+    return (
+        tf.join(cf, "__w")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_tokens"),
+            F.sum(term).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("mean_surprisal"),
+        )
     )

@@ -235,3 +235,45 @@ def test_negative_samples_deterministic_and_self_free(spark):
     b = {(r.doc_id, r.j, r.neg_id) for r in negative_samples(df, "doc_id", k=2, buckets=16).collect()}
     assert a == b and len(a) > 50
     assert all(d != n for d, _, n in a)
+
+
+# ------------------------------------------------ ann recall / surprisal
+
+def test_ann_recall_counts(spark):
+    from cardinalhq_otel_collector_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "qid long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 21)], "qid long, vec_id long"
+    )
+    got = {r.qid: (r.n_exact, r.n_hit) for r in ann_recall(exact, approx).collect()}
+    assert got == {1: (3, 1), 2: (1, 0)}
+
+
+def test_surprisal_uniform_corpus(spark):
+    import math
+
+    from cardinalhq_otel_collector_spark.operators.textstats import unigram_surprisal
+
+    # two docs, four distinct tokens each appearing once: p(w) = 1/8...
+    # doc tokens: a b c d / e f g h -> every token surprisal ln(8)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    rows = unigram_surprisal(docs).collect()
+    for r in rows:
+        assert r.n_tokens == 4
+        assert abs(r.mean_surprisal - round(math.log(8), 6)) < 1e-9
+
+
+def test_surprisal_repetitive_doc_scores_lower(spark):
+    from cardinalhq_otel_collector_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "quux zoth argle bargle")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(docs).collect()}
+    assert got[1] < got[2]  # boilerplate scores low, rare-token soup high
