@@ -4000,6 +4000,17 @@ FROM events c JOIN events v
  AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
  AND epoch_us(v.ts) <= epoch_us(c.ts) + 600000000
 """,
+        # the stateful streaming throttle replays time-split
+        # microbatches, so its admitted set equals the BATCH rate_limit
+        # — stated as the plain row_number cut over (user, day)
+        "lib_streaming_rate_limit": """
+WITH r AS (SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id, (epoch_us(ts) // 1000000 // 86400)
+               ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_id, user_id FROM r WHERE rn <= 2
+""",
         # the stateful streaming gauge compression replays time-split
         # microbatches, so its emitted set equals the BATCH changes_only
         # — stated here as the plain lag / IS DISTINCT FROM query
@@ -4442,6 +4453,57 @@ def _lib_streaming_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("event_id", "user_id", "value_floor")
 
 
+def _lib_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState token-bucket throttle (stateful_rate_limit)
+    replayed over TWO time-split microbatches: per-(user, day) admitted
+    counts carry across the boundary, so a bucket that filled in the
+    first half admits nothing from the second — the admitted set equals
+    the batch rate_limit, stated by the oracle as the row_number cut."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from cardinalhq_otel_collector_spark.streaming.stateful_agg import (
+        stateful_rate_limit,
+    )
+
+    base = tempfile.mkdtemp(prefix="entry_srl_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cut = datetime.datetime(2024, 1, 16)
+    halves = (ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut))
+    now = _t.time()
+    for j, frame in enumerate(halves):
+        tmp = os.path.join(base, f"w{j}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{j:02d}-half.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + 40 * j, now - 100 + 40 * j))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    admitted = stateful_rate_limit(
+        stream, ["user_id"], "ts", "event_id",
+        interval_seconds=86400, max_per_window=2,
+    )
+    (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("event_id", "user_id")
+
+
 _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_pipeline_e2e": _lib_pipeline,
     "lib_marshal_sink": _lib_marshal_sink,
@@ -4452,6 +4514,7 @@ _LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lib_streaming_sessions": _lib_streaming_sessions,
     "lib_stream_stream_join": _lib_stream_join,
     "lib_streaming_changes": _lib_streaming_changes,
+    "lib_streaming_rate_limit": _lib_streaming_rate_limit,
 }
 
 

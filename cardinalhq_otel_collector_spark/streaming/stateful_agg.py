@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_interval_counts", "stateful_changes_only"]
+__all__ = ["stateful_interval_counts", "stateful_changes_only", "stateful_rate_limit"]
 
 # state: parallel arrays of open buckets (start ms, count, sum)
 _STATE_SCHEMA = T.StructType(
@@ -217,4 +217,77 @@ def stateful_changes_only(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_RL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def stateful_rate_limit(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    interval_seconds: int = 86400,
+    max_per_window: int = 100,
+) -> DataFrame:
+    """Streaming twin of sampling.rate_limit: per (key, time bucket),
+    let the FIRST ``max_per_window`` rows through and drop the rest —
+    the edge throttle for chatty emitters, with the admitted-count per
+    open bucket as GroupState (O(active buckets) per key; a deployment
+    adds bucket eviction past its late-data bound — the replay harness
+    keeps every bucket so the equality with the batch operator is
+    total).
+
+    Rows are sorted by (ts, id) within each microbatch (vectorized);
+    with time-split input the admitted set equals the batch
+    rate_limit, which the oracle states as the plain row_number cut.
+    """
+    key_types = [stream.schema[k].dataType for k in key_cols]
+    out_schema = T.StructType(
+        [T.StructField(k, t, True) for k, t in zip(key_cols, key_types)]
+        + [T.StructField("event_id", T.LongType(), True)]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        prior: dict[int, int] = {}
+        if state.exists:
+            buckets, counts = state.get
+            prior = dict(zip(buckets, counts))
+        secs = (
+            pdf[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        )
+        bucket = (secs // interval_seconds) * interval_seconds
+        rank_in_bucket = bucket.groupby(bucket).cumcount()
+        already = bucket.map(prior).fillna(0).astype("int64")  # vectorized dict map
+        admit = (rank_in_bucket + already) < max_per_window
+        new_totals = bucket.value_counts().to_dict()
+        for b, n in new_totals.items():
+            prior[int(b)] = prior.get(int(b), 0) + int(n)
+        state.update((list(prior.keys()), list(prior.values())))
+        if admit.any():
+            sel = pdf.loc[admit.to_numpy()]
+            data = {k: [kv] * len(sel) for k, kv in zip(key_cols, key)}
+            data["event_id"] = sel[id_col].to_list()
+            yield pd.DataFrame(data)
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_RL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
