@@ -2911,6 +2911,20 @@ FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
 GROUP BY 1
 """
 
+# OOV oracle: identical unique (freq DESC, token ASC) top-20 vocabulary
+# cut, identical per-doc integer counts via the vocab anti-membership.
+_OOV_DUCK = """
+WITH toks AS (SELECT doc_id, token AS w
+              FROM documents d, unnest(str_split(d.text, ' ')) AS s(token)
+              WHERE token <> ''),
+v AS (SELECT w FROM (SELECT w, COUNT(*) AS cf FROM toks GROUP BY 1
+                     ORDER BY cf DESC, w ASC LIMIT 20))
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks t LEFT JOIN v ON v.w = t.w
+GROUP BY 1
+"""
+
 # Surprisal oracle: identical integer tf/cf/T, identical per-occurrence
 # tf*ln(T/cf) tree cast to DECIMAL(28,12) BEFORE the per-doc sum
 # (exact commutative addition — float sums are partition-order-
@@ -3734,6 +3748,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, approx)
 
 
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary counts against the corpus top-20
+    vocabulary (frequency DESC, token ASC unique cut, broadcast back)
+    — the '<unk> fallout at this vocab size' tokenizer-prep metric."""
+    from cardinalhq_otel_collector_spark.operators.textstats import oov_rate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return oov_rate(docs, vocab_size=20)
+
+
 def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: per-doc mean unigram surprisal
     against the corpus MLE — decimal-accumulated so the sum is
@@ -3854,6 +3878,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_negative_samples": q_doc_negative_samples,
     "ann_recall_eval": q_ann_recall_eval,
     "doc_surprisal": q_doc_surprisal,
+    "doc_oov_rate": q_doc_oov_rate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -3974,6 +3999,7 @@ def _oracles() -> dict[str, str]:
         "doc_negative_samples": _NEG_SAMPLES_DUCK,
         "ann_recall_eval": _ANN_RECALL_DUCK,
         "doc_surprisal": _SURPRISAL_DUCK,
+        "doc_oov_rate": _OOV_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

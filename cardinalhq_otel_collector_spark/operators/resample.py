@@ -49,11 +49,15 @@ def locf_resample(
     step_of = F.expr(
         f"(unix_timestamp({ts_col}) div {int(step_seconds)}) * {int(step_seconds)}L"
     )
-    tb = (
-        F.col(order_tiebreak)
-        if order_tiebreak
-        else F.monotonically_increasing_id()
-    )
+    if order_tiebreak is None:
+        # a physical-order fallback (monotonically_increasing_id) would
+        # make tied-timestamp results partitioning-dependent — refuse
+        # instead of silently being nondeterministic
+        raise ValueError(
+            "locf_resample needs order_tiebreak (a unique id column) so "
+            "tied timestamps resolve identically under any partitioning"
+        )
+    tb = F.col(order_tiebreak)
     # last value per non-empty step: max_by over (ts, tiebreak)
     per_step = (
         df.select(

@@ -26,6 +26,7 @@ __all__ = [
     "remove_high_df_tokens",
     "bm25_topk",
     "unigram_surprisal",
+    "oov_rate",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -596,5 +597,40 @@ def unigram_surprisal(
             F.round(
                 F.col("__s").cast("double") / F.col("n_tokens").cast("double"), 6
             ).alias("mean_surprisal"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary profile per document against the corpus top-K
+    vocabulary — the tokenizer-prep question ('how much of each doc
+    will fall to <unk>/byte-fallback at this vocab size'). The top-K
+    cut is (frequency DESC, token ASC) — unique, TakeOrdered-shaped,
+    config-bounded — and rides back as a broadcast semi-join set; the
+    per-doc numbers are exact integers.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).where(F.col("__w") != "")
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cf"))
+        .orderBy(F.col("__cf").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
         )
     )
