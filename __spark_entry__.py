@@ -1550,6 +1550,30 @@ FROM h
 """
 
 
+# Lang-ID confusion oracle: composes the independent lang-ID oracle
+# (the marker-hit CASE) with the ground-truth lang column — the
+# evaluation is itself oracle-checked end to end (ann_recall pattern).
+_LANG_CONFUSION_DUCK = f"""
+WITH pred AS (SELECT doc_id, lang_guess FROM ({_lang_duck()}) t)
+SELECT d.lang AS truth, p.lang_guess AS pred, COUNT(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+# Error-context oracle: frame-ordered windowed list over the identical
+# (ts, event_id) order; empty frames coalesce to '' exactly like
+# Spark's collect_list-over-empty-frame -> array_join.
+_ERROR_CONTEXT_DUCK = """
+WITH c AS (SELECT event_id, user_id, event_type,
+             COALESCE(array_to_string(
+               list(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '')
+               AS context
+           FROM events)
+SELECT event_id, user_id, context FROM c WHERE event_type = 'error'
+"""
+
 _EXACT_DEDUP_DUCK = """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -3769,6 +3793,35 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs)
 
 
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram-marker
+    classifier's guesses against the documents table's ground-truth
+    lang column — (truth, pred, n) integer cells; the oracle composes
+    the existing independent lang-ID oracle with the truth join."""
+    from cardinalhq_otel_collector_spark.operators.textstats import lang_id
+    from cardinalhq_otel_collector_spark.operators.validate import confusion_matrix
+
+    docs = _read(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "lang_guess")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return confusion_matrix(joined, "lang", "lang_guess")
+
+
+def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-3 preceding event types for every error event ('what
+    happened just before') — frame-ordered collect_list, joined to a
+    deterministic context string; the triage primitive."""
+    from cardinalhq_otel_collector_spark.operators.context import context_window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = context_window(ev, ["user_id"], "ts", "event_id", "event_type", k=3)
+    return out.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "context"
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3879,6 +3932,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": q_ann_recall_eval,
     "doc_surprisal": q_doc_surprisal,
     "doc_oov_rate": q_doc_oov_rate,
+    "doc_lang_confusion": q_doc_lang_confusion,
+    "events_error_context": q_events_error_context,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4000,6 +4055,8 @@ def _oracles() -> dict[str, str]:
         "ann_recall_eval": _ANN_RECALL_DUCK,
         "doc_surprisal": _SURPRISAL_DUCK,
         "doc_oov_rate": _OOV_DUCK,
+        "doc_lang_confusion": _LANG_CONFUSION_DUCK,
+        "events_error_context": _ERROR_CONTEXT_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["trim_to_budget"]
+__all__ = ["trim_to_budget", "context_window"]
 
 
 def trim_to_budget(
@@ -39,4 +39,29 @@ def trim_to_budget(
     return (
         df.withColumn("suffix_tokens", F.sum(tokens_col).over(w))
         .where(F.col("suffix_tokens") <= budget)
+    )
+
+
+def context_window(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    id_col: str,
+    payload_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Last-k preceding payloads per row ('what happened just before
+    this event') — the context-gathering primitive behind error
+    triage and few-shot example assembly. A ROWS window (k PRECEDING
+    .. 1 PRECEDING) over the (ts, id) order; collect_list inside a
+    window frame preserves the frame's order, so the joined context
+    string is deterministic under any partitioning. One Exchange+Sort.
+    """
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-k, -1)
+    )
+    return df.withColumn(
+        "context", F.array_join(F.collect_list(payload_col).over(w), ",")
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transcript_integrity", "k_anonymity_violations", "coverage_gaps", "cohen_kappa", "fk_violations"]
+__all__ = ["transcript_integrity", "k_anonymity_violations", "coverage_gaps", "cohen_kappa", "fk_violations", "confusion_matrix"]
 
 
 def transcript_integrity(
@@ -184,3 +184,18 @@ def fk_violations(
         c = child[ck] == parent[pk]
         cond = c if cond is None else (cond & c)
     return child.join(parent, cond, "left_anti")
+
+
+def confusion_matrix(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Classifier evaluation as data: (truth, predicted, n) cell counts
+    — the confusion matrix behind accuracy/precision/recall for any
+    label-producing operator (language ID, routing rules, quality
+    gates). One map-side-combinable aggregate; exact integers."""
+    return (
+        df.groupBy(F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
