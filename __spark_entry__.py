@@ -1560,6 +1560,23 @@ FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
 """
 
+# Theil-Sen oracle: identical strict-(t, id)-ordered pair join,
+# identical per-pair slope tree ((dv/dt_us)*3.6e9), exact interpolated
+# median round-6.
+_THEIL_SEN_DUCK = """
+WITH b AS (SELECT user_id, epoch_us(ts) AS t, value AS v, event_id AS id
+           FROM events),
+p AS (SELECT a.user_id,
+        (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) * 3600000000.0 AS s
+      FROM b a JOIN b b
+        ON a.user_id = b.user_id
+       AND (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+       AND b.t <> a.t)
+SELECT user_id, COUNT(*) AS n_pairs,
+       ROUND(quantile_cont(s, 0.5), 6) AS slope_per_hour
+FROM p GROUP BY 1
+"""
+
 # Error-context oracle: frame-ordered windowed list over the identical
 # (ts, event_id) order; empty frames coalesce to '' exactly like
 # Spark's collect_list-over-empty-frame -> array_join.
@@ -3822,6 +3839,16 @@ def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user value trend: Theil-Sen median-of-pairwise-slopes
+    (per hour) — outlier-immune drift detection; pairs form within each
+    series, O(n_i²) per series by the estimator's nature."""
+    from cardinalhq_otel_collector_spark.operators.anomaly import theil_sen_trend
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return theil_sen_trend(ev, ["user_id"], "ts", "value", "event_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3934,6 +3961,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_oov_rate": q_doc_oov_rate,
     "doc_lang_confusion": q_doc_lang_confusion,
     "events_error_context": q_events_error_context,
+    "events_theil_sen": q_events_theil_sen,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4057,6 +4085,7 @@ def _oracles() -> dict[str, str]:
         "doc_oov_rate": _OOV_DUCK,
         "doc_lang_confusion": _LANG_CONFUSION_DUCK,
         "events_error_context": _ERROR_CONTEXT_DUCK,
+        "events_theil_sen": _THEIL_SEN_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,
