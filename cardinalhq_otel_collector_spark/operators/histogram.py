@@ -161,6 +161,10 @@ def histogram_quantile(
     len(bounds)) has no finite upper bound; crossings there clamp to
     the last finite bound, as PromQL does.
     """
+    if not bounds:
+        raise ValueError("histogram_quantile needs explicit bucket bounds")
+    if not (0 < q_num <= q_den):
+        raise ValueError("quantile must satisfy 0 < q_num/q_den <= 1")
     # overflow bucket: lo == hi == last finite bound, so the
     # interpolation collapses to exactly that bound (PromQL's clamp)
     lo_expr = F.lit(float(bounds[-1]))

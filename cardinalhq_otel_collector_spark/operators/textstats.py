@@ -500,6 +500,8 @@ def bm25_topk(
     places. Top-k is TakeOrdered on (score DESC, id) — unique, never
     a global sort.
     """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w")
     ).where(F.col("__w") != "")
