@@ -1577,6 +1577,38 @@ SELECT user_id, COUNT(*) AS n_pairs,
 FROM p GROUP BY 1
 """
 
+# State-dwell oracle: identical lead gaps over (ts, event_id), grouped
+# by (entity, state) — exact integer µs.
+_STATE_DWELL_DUCK = """
+WITH s AS (SELECT user_id, event_type AS state,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, state, COUNT(*) AS n_spans,
+       CAST(SUM(gap) AS BIGINT) AS dwell_us
+FROM s WHERE gap IS NOT NULL GROUP BY 1, 2
+"""
+
+# c-TF-IDF oracle: identical integer tf/df/N into the identical
+# tf * ln(1 + N/df) tree, identical unique (score DESC, token) top-5.
+_CTFIDF_DUCK = """
+WITH toks AS (SELECT source AS cluster, token
+              FROM documents d, unnest(str_split(d.text, ' ')) AS s(token)
+              WHERE token <> ''),
+tf AS (SELECT cluster, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT cluster) AS N FROM tf),
+sc AS (SELECT tf.cluster, tf.token, tf.tf,
+         CAST(tf.tf AS DOUBLE)
+           * ln(1.0 + CAST(n.N AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS s
+       FROM tf JOIN dfc USING (token), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY s DESC, token ASC) AS rk
+      FROM sc)
+SELECT cluster, token, tf, ROUND(s, 6) AS ctfidf
+FROM r WHERE rk <= 5
+"""
+
 # Error-context oracle: frame-ordered windowed list over the identical
 # (ts, event_id) order; empty frames coalesce to '' exactly like
 # Spark's collect_list-over-empty-frame -> array_join.
@@ -3849,6 +3881,28 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(ev, ["user_id"], "ts", "value", "event_id")
 
 
+def q_events_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting per (user, event_type): each
+    observation's state holds until the successor, the gap attributed
+    to the current state — exact integer µs dwell totals."""
+    from cardinalhq_otel_collector_spark.operators.sessionize import state_dwell
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return state_dwell(ev, ["user_id"], "event_type", "ts", "event_id")
+
+
+def q_doc_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source cluster via c-TF-IDF (the BERTopic
+    labeling rule — cluster-level tf x ln(1 + N/df_clusters)); top-5
+    per cluster on the unique (score DESC, token) cut."""
+    from cardinalhq_otel_collector_spark.operators.textstats import ctfidf_topk
+
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    return ctfidf_topk(docs, "source", topk=5)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -3962,6 +4016,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_confusion": q_doc_lang_confusion,
     "events_error_context": q_events_error_context,
     "events_theil_sen": q_events_theil_sen,
+    "events_state_dwell": q_events_state_dwell,
+    "doc_ctfidf": q_doc_ctfidf,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4086,6 +4142,8 @@ def _oracles() -> dict[str, str]:
         "doc_lang_confusion": _LANG_CONFUSION_DUCK,
         "events_error_context": _ERROR_CONTEXT_DUCK,
         "events_theil_sen": _THEIL_SEN_DUCK,
+        "events_state_dwell": _STATE_DWELL_DUCK,
+        "doc_ctfidf": _CTFIDF_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining", "reply_latency_stats", "basket_lift", "run_length_encode"]
+__all__ = ["sessionize", "session_stats", "transition_counts", "interarrival_stats", "path_mining", "reply_latency_stats", "basket_lift", "run_length_encode", "state_dwell"]
 
 
 def sessionize(
@@ -304,4 +304,37 @@ def run_length_encode(
             F.max(id_col).alias("last_id"),
         )
         .withColumnRenamed("__run", "run_idx")
+    )
+
+
+def state_dwell(
+    df: DataFrame,
+    by: list[str],
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Time-in-state accounting: each observation's state holds until
+    the next observation, so the gap to the successor is attributed to
+    the CURRENT state (the same half-open LOCF reading as
+    time_weighted, aggregated per state instead of integrated over
+    values) — 'how long was each service degraded', 'dwell per page'.
+    Exact integer microseconds; the last observation of a series has no
+    successor and contributes nothing. One lead window + one hash agg
+    sharing the entity partitioning."""
+    w = Window.partitionBy(*by).orderBy(F.col("__t").asc(), F.col("__id").asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    stepped = df.select(
+        *by,
+        F.col(state_col).alias("state"),
+        us.alias("__t"),
+        F.col(id_col).alias("__id"),
+    ).withColumn("__gap", F.lead("__t").over(w) - F.col("__t"))
+    return (
+        stepped.where(F.col("__gap").isNotNull())
+        .groupBy(*by, "state")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("__gap").alias("dwell_us"),
+        )
     )

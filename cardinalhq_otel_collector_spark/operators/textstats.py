@@ -27,6 +27,7 @@ __all__ = [
     "bm25_topk",
     "unigram_surprisal",
     "oov_rate",
+    "ctfidf_topk",
 ]
 
 # tiny per-language stopword marker lists (public-knowledge heuristics)
@@ -634,5 +635,53 @@ def oov_rate(
             F.sum(
                 F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
             ).alias("n_oov"),
+        )
+    )
+
+
+def ctfidf_topk(
+    df: DataFrame,
+    cluster_col: str,
+    text_col: str = "text",
+    topk: int = 5,
+) -> DataFrame:
+    """Distinctive terms per cluster via c-TF-IDF (the BERTopic
+    labeling rule): score = tf_in_cluster * ln(1 + n_clusters /
+    df_clusters), where df counts CLUSTERS containing the term — a
+    term every cluster shares scores near tf*ln(2)·0, a term unique to
+    one cluster gets the full idf boost. The topic-labeling primitive
+    for template/near-dup cluster maps.
+
+    Integer tf/df/N into one fixed IEEE tree (pmi discipline, round-6
+    in the output, rank on the unrounded double); per-cluster top-k by
+    (score DESC, token ASC) — unique. Two hash aggregates + a
+    vocabulary-keyed join + a cluster-partitioned rank window.
+    """
+    toks = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).where(F.col("__w") != "")
+    tf = toks.groupBy("cluster", "__w").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    n_clusters = tf.select("cluster").distinct().agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    score = F.col("tf").cast("double") * F.log(
+        F.lit(1.0) + F.col("__N").cast("double") / F.col("__df").cast("double")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__score").desc(), F.col("__w").asc()
+    )
+    return (
+        tf.join(dfc, "__w")
+        .join(F.broadcast(n_clusters))
+        .withColumn("__score", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= topk)
+        .select(
+            "cluster",
+            F.col("__w").alias("token"),
+            "tf",
+            F.round(F.col("__score"), 6).alias("ctfidf"),
         )
     )
