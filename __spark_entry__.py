@@ -1577,6 +1577,51 @@ SELECT user_id, COUNT(*) AS n_pairs,
 FROM p GROUP BY 1
 """
 
+# Identity-stitch oracle: identical md5 device derivation (+1e7
+# namespace offset), recursive reachability fixpoint labeled by min
+# node (the doc_neardup_dedup closure pattern on a second domain).
+_IDENTITY_STITCH_DUCK = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+e AS (SELECT user_id AS a,
+        CAST(('0x' || substr(md5('d1|' || CAST(user_id AS VARCHAR)), 1, 13))
+             AS BIGINT) % 200 + 10000000 AS b
+      FROM u
+      UNION
+      SELECT user_id,
+        CAST(('0x' || substr(md5('d2|' || CAST(user_id AS VARCHAR)), 1, 13))
+             AS BIGINT) % 200 + 10000000
+      FROM u),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+reach(s, t) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.s, u2.t FROM reach r JOIN und u2 ON r.t = u2.s)
+SELECT s AS node_id, MIN(t) AS identity_id
+FROM reach GROUP BY s
+"""
+
+# Pearson oracle: identical DECIMAL(38,4) moment sums cast back to
+# double, identical fixed r tree (sqrt is IEEE-correctly-rounded, so
+# it is as portable as the four arithmetic ops), round-6.
+_PEARSON_DUCK = """
+WITH m AS (SELECT user_id, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(epoch_us(ts) AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(value * CAST(epoch_us(ts) AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(epoch_us(ts) AS DOUBLE) * CAST(epoch_us(ts) AS DOUBLE)
+              AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM events GROUP BY 1)
+SELECT user_id, n,
+  ROUND(CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n AS DOUBLE) * syy - sy * sy)) = 0 THEN NULL
+        ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS r
+FROM m
+"""
+
 # State-dwell oracle: identical lead gaps over (ts, event_id), grouped
 # by (entity, state) — exact integer µs.
 _STATE_DWELL_DUCK = """
@@ -3903,6 +3948,52 @@ def q_doc_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctfidf_topk(docs, "source", topk=5)
 
 
+def q_events_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity stitching: each user links to two md5-derived device
+    ids (namespace-offset +1e7); connected components over the edge
+    set resolve the canonical identity — reusing the size-adaptive
+    component engine behind template clustering. Oracle = recursive
+    reachability fixpoint over the identical edges."""
+    from cardinalhq_otel_collector_spark.operators.identity import stitch_identities
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+
+    def dev(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 200
+            + F.lit(10_000_000)
+        )
+
+    edges = (
+        users.select(F.col("user_id").alias("a"), dev("d1|").alias("b"))
+        .unionByName(users.select(F.col("user_id").alias("a"), dev("d2|").alias("b")))
+        .distinct()
+    )
+    return stitch_identities(edges, "a", "b")
+
+
+def q_events_value_time_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Pearson correlation between value and event time —
+    'is this gauge trending' as a classical statistic beside the
+    Theil-Sen robust slope; DECIMAL-exact moment sums so the result is
+    partition-order-independent (unlike F.corr)."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import pearson_corr
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return pearson_corr(
+        ev, ["user_id"], "value", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4018,6 +4109,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_theil_sen": q_events_theil_sen,
     "events_state_dwell": q_events_state_dwell,
     "doc_ctfidf": q_doc_ctfidf,
+    "events_identity_stitch": q_events_identity_stitch,
+    "events_value_time_corr": q_events_value_time_corr,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4144,6 +4237,8 @@ def _oracles() -> dict[str, str]:
         "events_theil_sen": _THEIL_SEN_DUCK,
         "events_state_dwell": _STATE_DWELL_DUCK,
         "doc_ctfidf": _CTFIDF_DUCK,
+        "events_identity_stitch": _IDENTITY_STITCH_DUCK,
+        "events_value_time_corr": _PEARSON_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

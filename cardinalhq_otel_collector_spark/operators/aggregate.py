@@ -38,6 +38,7 @@ __all__ = [
     "mad_outliers",
     "time_weighted",
     "seasonality_profile",
+    "pearson_corr",
 ]
 
 
@@ -380,4 +381,47 @@ def seasonality_profile(
             F.count(F.lit(1)).alias("n"),
             F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias("median"),
         )
+    )
+
+
+def pearson_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group Pearson correlation, engine-exact: the five moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL — exact and
+    commutative, so unlike F.corr (float accumulation, partition-order
+    dependent) the result is bit-stable under any partitioning — and
+    r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is one fixed IEEE
+    tree over identical operands (√ is correctly rounded per IEEE 754,
+    so it is portable like +,−,×,÷), rounded to 6. One hash aggregate.
+
+    ``x_col``/``y_col`` may be Column expressions (e.g. an epoch-µs
+    projection of a timestamp).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    dec = "decimal(38,4)"
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("__sx"),
+        F.sum(y.cast(dec)).cast("double").alias("__sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("__sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("__sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (nd * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den), 6
+        ).alias("r"),
     )
