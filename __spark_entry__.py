@@ -1622,6 +1622,54 @@ SELECT user_id, n,
 FROM m
 """
 
+# Min-max oracle: identical per-group bounds, identical two-op scaling
+# (NULL for constant groups).
+_MINMAX_DUCK = """
+WITH b AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+  CASE WHEN b.hi = b.lo THEN NULL
+       ELSE (e.value - b.lo) / (b.hi - b.lo) END AS value_scaled
+FROM events e JOIN b USING (event_type)
+"""
+
+# Hill oracle: identical top-k value cut (ties share values, so the
+# kept multiset — and therefore every ln term — is order-independent),
+# identical DECIMAL(28,12)-cast terms, round-6 alpha.
+_HILL_DUCK = """
+WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC) AS rk
+           FROM events WHERE value > 0),
+xk AS (SELECT event_type, value AS x_k FROM r WHERE rk = 50)
+SELECT r.event_type,
+  ROUND(49.0 / CAST(SUM(CAST(ln(r.value / xk.x_k) AS DECIMAL(28,12)))
+               AS DOUBLE), 6) AS alpha
+FROM r JOIN xk USING (event_type)
+WHERE r.rk < 50
+GROUP BY 1
+"""
+
+# Z-test oracle: identical integer trial/success counts, identical
+# pooled-rate tree, round-6.
+_ZTEST_DUCK = """
+WITH a AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+           FROM events GROUP BY 1)
+SELECT x.variant AS variant_a, y.variant AS variant_b,
+  x.n AS n_a, x.c AS c_a, y.n AS n_b, y.c AS c_b,
+  ROUND((CAST(x.c AS DOUBLE) / CAST(x.n AS DOUBLE)
+         - CAST(y.c AS DOUBLE) / CAST(y.n AS DOUBLE))
+        / sqrt(((CAST(x.c AS DOUBLE) + CAST(y.c AS DOUBLE))
+                / (CAST(x.n AS DOUBLE) + CAST(y.n AS DOUBLE)))
+               * (1.0 - (CAST(x.c AS DOUBLE) + CAST(y.c AS DOUBLE))
+                        / (CAST(x.n AS DOUBLE) + CAST(y.n AS DOUBLE)))
+               * (1.0 / CAST(x.n AS DOUBLE) + 1.0 / CAST(y.n AS DOUBLE))), 6)
+    AS z
+FROM a x JOIN a y ON x.variant < y.variant
+"""
+
 # State-dwell oracle: identical lead gaps over (ts, event_id), grouped
 # by (entity, state) — exact integer µs.
 _STATE_DWELL_DUCK = """
@@ -3994,6 +4042,41 @@ def q_events_value_time_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type min-max feature scaling — broadcast bounds join, two
+    single IEEE ops, engine-exact with no rounding discipline."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import minmax_scale
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return minmax_scale(ev, "value", ["event_type"])
+
+
+def q_events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index over each type's top-50 values — the heavy-tail
+    detector that says when means mislead and skew mitigation is
+    mandatory; decimal-summed ln terms, round-6 alpha."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import hill_tail_index
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    return hill_tail_index(ev, "value", ["event_type"], k=50)
+
+
+def q_events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the even/odd user-id variants on
+    the per-event purchase rate — exact integer counts into one fixed
+    IEEE tree; the experimentation readout as an oracle-checked
+    query."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import (
+        two_proportion_ztest,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return two_proportion_ztest(ev, "variant", "converted")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4111,6 +4194,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ctfidf": q_doc_ctfidf,
     "events_identity_stitch": q_events_identity_stitch,
     "events_value_time_corr": q_events_value_time_corr,
+    "events_minmax_scale": q_events_minmax_scale,
+    "events_hill_tail": q_events_hill_tail,
+    "events_ab_ztest": q_events_ab_ztest,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4239,6 +4325,9 @@ def _oracles() -> dict[str, str]:
         "doc_ctfidf": _CTFIDF_DUCK,
         "events_identity_stitch": _IDENTITY_STITCH_DUCK,
         "events_value_time_corr": _PEARSON_DUCK,
+        "events_minmax_scale": _MINMAX_DUCK,
+        "events_hill_tail": _HILL_DUCK,
+        "events_ab_ztest": _ZTEST_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

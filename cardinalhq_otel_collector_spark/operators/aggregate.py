@@ -39,6 +39,9 @@ __all__ = [
     "time_weighted",
     "seasonality_profile",
     "pearson_corr",
+    "minmax_scale",
+    "hill_tail_index",
+    "two_proportion_ztest",
 ]
 
 
@@ -424,4 +427,111 @@ def pearson_corr(
         F.round(
             F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den), 6
         ).alias("r"),
+    )
+
+
+def minmax_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group min-max feature scaling: (v - min)/(max - min), NULL
+    for constant groups (no information). The bounds table is
+    groups-sized and joins back broadcast; the scaled value is two
+    single IEEE ops on identical operands — engine-exact without any
+    rounding discipline (contrast z-scores, whose stddev accumulation
+    is order-dependent)."""
+    out_col = out_col or f"{value_col}_scaled"
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    scaled = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(None).cast("double")
+    ).otherwise((F.col(value_col) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")))
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(out_col, scaled)
+        .drop("__lo", "__hi")
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 50,
+) -> DataFrame:
+    """Heavy-tail detection: the Hill estimator of the power-law tail
+    index over each group's top-k values — alpha = (k-1) / Σ ln(x_i /
+    x_k) for the k largest x (Hill 1975). Small alpha (≲2) means a
+    tail fat enough that means/variances mislead and skew mitigation
+    (salting, winsorize, MAD cuts — all in this library) is mandatory;
+    this operator is the detector that says so.
+
+    Determinism: the top-k cut is a (value DESC, row_number) window —
+    ties resolve by the order's totality within equal values being
+    irrelevant to the SET of values kept (values equal ⇒ same ln
+    terms); each ln(x_i/x_k) is one fixed tree cast to DECIMAL(28,12)
+    BEFORE the sum (surprisal discipline), alpha rounded to 6."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).desc())
+    ranked = (
+        df.where(F.col(value_col) > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+    )
+    xk = ranked.where(F.col("__rk") == k).select(
+        *group_cols, F.col(value_col).alias("__xk")
+    )
+    term = F.log(F.col(value_col) / F.col("__xk")).cast("decimal(28,12)")
+    return (
+        ranked.where(F.col("__rk") < k)
+        .join(F.broadcast(xk), group_cols)
+        .groupBy(*group_cols)
+        .agg(F.sum(term).alias("__s"))
+        .select(
+            *group_cols,
+            F.round(
+                F.lit(float(k - 1)) / F.col("__s").cast("double"), 6
+            ).alias("alpha"),
+        )
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """A/B experimentation primitive: for every variant pair, the
+    two-proportion z statistic under the pooled-rate null — exact
+    integer trial/success counts into ONE fixed IEEE tree (round-6), so
+    the experiment readout is engine-exact. ``success_col`` is a
+    boolean/0-1 column per trial row.
+
+    One tiny aggregate (variants) + a self-join over the variant pairs
+    (variants², control-plane sized)."""
+    agg = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("c"),
+    )
+    a = agg.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = agg.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("c").alias("c_b"),
+    )
+    j = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    p_pool = (ca + cb) / (na + nb)
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = (ca / na - cb / nb) / se
+    return j.select(
+        "variant_a", "variant_b", "n_a", "c_a", "n_b", "c_b",
+        F.round(z, 6).alias("z"),
     )
