@@ -1670,6 +1670,24 @@ SELECT x.variant AS variant_a, y.variant AS variant_b,
 FROM a x JOIN a y ON x.variant < y.variant
 """
 
+# Mutual-information oracle: identical integer cells/marginals/total,
+# identical per-cell (c/n)*ln(c*n/(cx*cy)) tree cast DECIMAL(28,12)
+# before the sum, round-6.
+_MI_DUCK = """
+WITH p AS (SELECT event_type AS x, user_id % 2 AS y FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT x, y, COUNT(*) AS c FROM p GROUP BY 1, 2),
+mx AS (SELECT x, COUNT(*) AS cx FROM p GROUP BY 1),
+my AS (SELECT y, COUNT(*) AS cy FROM p GROUP BY 1),
+t AS (SELECT COUNT(*) AS n FROM p)
+SELECT MAX(t.n) AS n, COUNT(*) AS n_cells,
+  ROUND(CAST(SUM(CAST((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln(CAST(c.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                           / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)))
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+FROM cells c JOIN mx USING (x) JOIN my USING (y), t
+"""
+
 # State-dwell oracle: identical lead gaps over (ts, event_id), grouped
 # by (entity, state) — exact integer µs.
 _STATE_DWELL_DUCK = """
@@ -4077,6 +4095,20 @@ def q_events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(ev, "variant", "converted")
 
 
+def q_events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the even/odd user-id
+    bucket — the 'does this attribute predict that label' primitive;
+    exact integer cells, decimal-summed terms, round-6 nats."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import (
+        mutual_information,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(2)).alias("bucket")
+    )
+    return mutual_information(ev, "event_type", "bucket")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4197,6 +4229,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_minmax_scale": q_events_minmax_scale,
     "events_hill_tail": q_events_hill_tail,
     "events_ab_ztest": q_events_ab_ztest,
+    "events_mutual_info": q_events_mutual_info,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4328,6 +4361,7 @@ def _oracles() -> dict[str, str]:
         "events_minmax_scale": _MINMAX_DUCK,
         "events_hill_tail": _HILL_DUCK,
         "events_ab_ztest": _ZTEST_DUCK,
+        "events_mutual_info": _MI_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

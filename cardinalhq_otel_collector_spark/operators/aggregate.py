@@ -42,6 +42,7 @@ __all__ = [
     "minmax_scale",
     "hill_tail_index",
     "two_proportion_ztest",
+    "mutual_information",
 ]
 
 
@@ -534,4 +535,44 @@ def two_proportion_ztest(
     return j.select(
         "variant_a", "variant_b", "n_a", "c_a", "n_b", "c_b",
         F.round(z, 6).alias("z"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information I(X;Y) in nats between two categorical
+    columns — the model-free feature-selection / leakage-detection
+    primitive ('does this attribute predict that label at all').
+    Exact integer cell and marginal counts; each cell's term
+    (c/n)·ln(c·n/(c_x·c_y)) is ONE fixed IEEE tree cast to
+    DECIMAL(28,12) BEFORE the sum (surprisal discipline — the cell sum
+    is partition-order-independent), final round-6. Three hash
+    aggregates, marginals joined back vocabulary-sized.
+    """
+    pairs = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    cells = pairs.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    mx = pairs.groupBy("__x").agg(F.count(F.lit(1)).alias("__cx"))
+    my = pairs.groupBy("__y").agg(F.count(F.lit(1)).alias("__cy"))
+    n = pairs.agg(F.count(F.lit(1)).alias("__n"))
+    c, cx, cy, nn = (
+        F.col("__c").cast("double"),
+        F.col("__cx").cast("double"),
+        F.col("__cy").cast("double"),
+        F.col("__n").cast("double"),
+    )
+    term = ((c / nn) * F.log(c * nn / (cx * cy))).cast("decimal(28,12)")
+    return (
+        cells.join(mx, "__x")
+        .join(my, "__y")
+        .join(F.broadcast(n))
+        .agg(
+            F.max("__n").alias("n"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 6).alias("mi_nats"),
+        )
     )
