@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "events_span_union",
     "events_exp_histogram",
     "events_table_diff",
+    "events_histogram_quantile",
+    "events_theil_sen",
+    "events_state_dwell",
+    "doc_surprisal",
 ]
 
 # ~48M turns/sf → sf0.1 ≈ 4.8M turns (FIXTURES.md bench scale)
