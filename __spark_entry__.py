@@ -1688,6 +1688,25 @@ SELECT MAX(t.n) AS n, COUNT(*) AS n_cells,
 FROM cells c JOIN mx USING (x) JOIN my USING (y), t
 """
 
+# Gini oracle: identical ascending (count, key) rank over the per-key
+# counts, identical integer Σ(2i−n−1)x numerator, integer-ppm render.
+_GINI_DUCK = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, x,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY x ASC, user_id ASC) AS i
+      FROM c),
+a AS (SELECT event_type, COUNT(*) AS n_keys,
+        CAST(SUM(x) AS BIGINT) AS total_rows,
+        CAST(SUM((2 * i - 1) * x) AS BIGINT) AS np
+      FROM r GROUP BY 1)
+SELECT event_type, n_keys, total_rows,
+  CAST((np - n_keys * total_rows) * 1000000
+       // (n_keys * total_rows) AS BIGINT) AS gini_ppm
+FROM a
+"""
+
 # State-dwell oracle: identical lead gaps over (ts, event_id), grouped
 # by (entity, state) — exact integer µs.
 _STATE_DWELL_DUCK = """
@@ -4109,6 +4128,16 @@ def q_events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(ev, "event_type", "bucket")
 
 
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of the user-count distribution —
+    load imbalance as one FULLY integer-exact number (ppm via integer
+    division); the summary beside skew_report's top-k detail."""
+    from cardinalhq_otel_collector_spark.operators.profile import gini_coefficient
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    return gini_coefficient(ev, ["user_id"], ["event_type"])
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4230,6 +4259,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hill_tail": q_events_hill_tail,
     "events_ab_ztest": q_events_ab_ztest,
     "events_mutual_info": q_events_mutual_info,
+    "events_gini": q_events_gini,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4362,6 +4392,7 @@ def _oracles() -> dict[str, str]:
         "events_hill_tail": _HILL_DUCK,
         "events_ab_ztest": _ZTEST_DUCK,
         "events_mutual_info": _MI_DUCK,
+        "events_gini": _GINI_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

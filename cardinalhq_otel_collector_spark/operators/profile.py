@@ -16,8 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["skew_report", "psi_drift"]
+__all__ = ["skew_report", "psi_drift", "gini_coefficient"]
 
 
 def skew_report(
@@ -93,4 +94,46 @@ def psi_drift(
         "n_old",
         "n_new",
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Load-imbalance as a single number: the Gini coefficient of the
+    per-key row-count distribution (0 = perfectly even partitions,
+    →1 = one key owns everything) — the summary statistic beside
+    skew_report's top-k detail, and the trigger for the library's
+    salting/AQE mitigations.
+
+    FULLY integer-exact: with the per-key counts x_1 <= ... <= x_n,
+    Gini = Σ(2i − n − 1)·x_i / (n·Σx) — numerator and denominator are
+    exact BIGINT sums, rendered as ppm via integer division. The rank
+    window runs over the distinct-key counts (vocabulary-sized), never
+    the raw rows.
+    """
+    group_cols = group_cols or []
+    counts = df.groupBy(*group_cols, *key_cols).agg(F.count(F.lit(1)).alias("__x"))
+    order = [F.col("__x").asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    w = w.orderBy(*order)
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__x").alias("total_rows"),
+        F.sum(
+            (F.lit(2) * F.col("__i") - F.lit(1)) * F.col("__x")
+        ).alias("__num_part"),
+    )
+    # gini numerator: Σ(2i − n − 1)x = Σ(2i − 1)x − n·Σx
+    return agg.select(
+        *group_cols,
+        "n_keys",
+        "total_rows",
+        F.expr(
+            "(__num_part - n_keys * total_rows) * 1000000"
+            " div (n_keys * total_rows)"
+        ).alias("gini_ppm"),
     )
