@@ -178,3 +178,86 @@ def test_changes_only_locf_replay_roundtrip(spark, vals):
     import math
 
     assert replay == [int(math.floor(v)) for v in vals]
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_kmv_exact_below_k_for_arbitrary_sets(spark, vals, k):
+    """Whenever the true distinct count is below k the sketch is EXACT
+    (it saw every hash) — the claim the scale path's correctness rests
+    on."""
+    from cardinalhq_otel_collector_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", str(v)) for v in vals], "g string, v string"
+    )
+    r = kmv_distinct(df, "v", ["g"], k=k).collect()[0]
+    if len(vals) < k:
+        assert r.est_distinct == len(vals) and r.kth_hash is None
+    else:
+        assert r.n_kept == k and r.est_distinct > 0
+
+
+@settings(**_SETTINGS)
+@given(
+    members=st.sets(st.integers(0, 500), min_size=1, max_size=20),
+    probes=st.sets(st.integers(0, 500), min_size=1, max_size=40),
+)
+def test_bloom_admits_every_true_member(spark, members, probes):
+    from cardinalhq_otel_collector_spark.operators.bloomjoin import bloom_semi_filter
+
+    big = spark.createDataFrame([(p,) for p in probes | members], "user_id long")
+    small = spark.createDataFrame([(m,) for m in members], "user_id long")
+    out = {r.user_id for r in bloom_semi_filter(big, small, "user_id").collect()}
+    assert members <= out  # the Bloom guarantee: zero false negatives
+
+
+@settings(**_SETTINGS)
+@given(
+    states=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=25)
+)
+def test_rle_runs_reconstruct_the_sequence(spark, states):
+    """run_length_encode is lossless: expanding (state, run_len) in
+    run_idx order reproduces the input sequence, and consecutive runs
+    never share a state."""
+    import datetime as dt
+
+    from cardinalhq_otel_collector_spark.operators.sessionize import run_length_encode
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), s)
+        for i, s in enumerate(states)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, state string")
+    runs = sorted(
+        (r.run_idx, r.state, r.run_len)
+        for r in run_length_encode(df, ["user_id"], "state", "ts", "event_id").collect()
+    )
+    rebuilt = [s for _, s, n in runs for _ in range(n)]
+    assert rebuilt == states
+    assert all(a[1] != b[1] for a, b in zip(runs, runs[1:]))
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 40),
+    k=st.sampled_from([2, 4, 7]),
+)
+def test_ntile_bucket_sizes_ansi(spark, n, k):
+    """ANSI NTILE: the first n % k buckets get ceil(n/k) rows, the rest
+    floor(n/k) — pinned for arbitrary n, k."""
+    from cardinalhq_otel_collector_spark.operators.grouping import ntile_buckets
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(n)], "event_id long, g string, value double"
+    )
+    rows = ntile_buckets(df, "value", ["g"], k=k, tiebreak_col="event_id").collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    q, rem = divmod(n, k)
+    for b, sz in sizes.items():
+        assert sz == (q + 1 if b <= rem else q)
