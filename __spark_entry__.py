@@ -2784,6 +2784,29 @@ LIMIT 20
 
 _BM25_DUCK = _bm25_duck()
 
+# RRF oracle: composes the BM25 oracle (rounded scores — both engines
+# rank the identical rounded column with the doc_id tiebreak) with the
+# length-prior top-20, identical explicit two-term 1/(60+r) tree.
+_RRF_DUCK = f"""
+WITH bm AS (SELECT doc_id, bm25 FROM ({_BM25_DUCK}) t),
+a AS (SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS r
+      FROM bm),
+lng AS (SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20),
+b AS (SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS r
+      FROM lng),
+j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.r AS ra, b.r AS rb
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, ra AS rank_a, rb AS rank_b,
+  ROUND((CASE WHEN ra IS NULL THEN 0.0
+              ELSE 1.0 / (60.0 + CAST(ra AS DOUBLE)) END)
+        + (CASE WHEN rb IS NULL THEN 0.0
+                ELSE 1.0 / (60.0 + CAST(rb AS DOUBLE)) END), 6) AS rrf
+FROM j
+"""
+
 # Negative-samples oracle: identical 52-bit md5 bucket ring, identical
 # min-id representatives, identical rejection of self-draws.
 _NEG_SAMPLES_DUCK = """
@@ -4138,6 +4161,30 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(ev, ["user_id"], ["event_type"])
 
 
+def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search federation: reciprocal-rank fusion of the BM25
+    top-20 with a length-prior top-20 — the zero-tuning combiner;
+    explicit two-term score tree, full outer join on the doc id (both
+    inputs top-k-sized, the windows run over ≤20 rows)."""
+    from pyspark.sql import Window as W
+
+    from cardinalhq_otel_collector_spark.operators.similarity import rrf_fuse
+    from cardinalhq_otel_collector_spark.operators.textstats import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    bm = bm25_topk(docs.select("doc_id", "text"), _BM25_TERMS, topk=20)
+    wa = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    a = bm.select("doc_id", F.row_number().over(wa).alias("rank"))
+    longest = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    wb = W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    b = longest.select("doc_id", F.row_number().over(wb).alias("rank"))
+    return rrf_fuse(a, b, "doc_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4260,6 +4307,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_ztest": q_events_ab_ztest,
     "events_mutual_info": q_events_mutual_info,
     "events_gini": q_events_gini,
+    "doc_rrf_fusion": q_doc_rrf_fusion,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4393,6 +4441,7 @@ def _oracles() -> dict[str, str]:
         "events_ab_ztest": _ZTEST_DUCK,
         "events_mutual_info": _MI_DUCK,
         "events_gini": _GINI_DUCK,
+        "doc_rrf_fusion": _RRF_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

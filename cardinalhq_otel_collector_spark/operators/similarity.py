@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk",
     "embedding_neardup_pairs",
     "ann_recall",
+    "rrf_fuse",
 ]
 
 
@@ -457,4 +458,41 @@ def ann_recall(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
         )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009
+    — the standard zero-tuning hybrid-search combiner, e.g. BM25 +
+    vector ranks): score = 1/(k + r_a) + 1/(k + r_b), items missing
+    from one list contribute only their present term. The two terms
+    are EXPLICIT columns added in literal order — a fixed IEEE tree,
+    never a groupBy float sum — so the fused ordering is engine-exact.
+    Full outer join on the id; both inputs are top-k-sized."""
+    a = ranked_a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    )
+    j = a.join(b, "__id", "full_outer")
+    term_a = F.when(
+        F.col("__ra").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k)) + F.col("__ra").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("__rb").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k)) + F.col("__rb").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.col("__ra").alias("rank_a"),
+        F.col("__rb").alias("rank_b"),
+        F.round(term_a + term_b, 6).alias("rrf"),
     )
