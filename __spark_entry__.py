@@ -1688,6 +1688,35 @@ SELECT MAX(t.n) AS n, COUNT(*) AS n_cells,
 FROM cells c JOIN mx USING (x) JOIN my USING (y), t
 """
 
+# Wilson oracle: identical integer counts, identical score-interval
+# tree with the same 1.96 literal (z² written as 1.96*1.96 so the
+# product is the identical double), round-6.
+_WILSON_DUCK = """
+WITH a AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+           FROM events GROUP BY 1)
+SELECT variant, n, c,
+  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+  ROUND(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+         - 1.96 * sqrt(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+  ROUND(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+         + 1.96 * sqrt(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96)
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM a
+"""
+
 # Gini oracle: identical ascending (count, key) rank over the per-key
 # counts, identical integer Σ(2i−n−1)x numerator, integer-ppm render.
 _GINI_DUCK = """
@@ -4185,6 +4214,19 @@ def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(a, b, "doc_id")
 
 
+def q_events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant purchase-rate Wilson score intervals — the
+    small-n-honest CI beside the z-test readout; exact integer counts
+    into one fixed tree (z = 1.96 as a shared literal), round-6."""
+    from cardinalhq_otel_collector_spark.operators.aggregate import wilson_interval
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return wilson_interval(ev, "variant", "converted")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_route_agg": q_pipeline_route_agg,
     "route_fanout_counts": q_route_fanout_counts,
@@ -4308,6 +4350,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mutual_info": q_events_mutual_info,
     "events_gini": q_events_gini,
     "doc_rrf_fusion": q_doc_rrf_fusion,
+    "events_wilson_ci": q_events_wilson_ci,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_hyperplane_buckets": q_emb_hyperplane_buckets,
@@ -4442,6 +4485,7 @@ def _oracles() -> dict[str, str]:
         "events_mutual_info": _MI_DUCK,
         "events_gini": _GINI_DUCK,
         "doc_rrf_fusion": _RRF_DUCK,
+        "events_wilson_ci": _WILSON_DUCK,
         "ann_cosine_topk": _ANN_DUCK,
         "emb_lsh_buckets": _EMB_BUCKET_DUCK,
         "emb_hyperplane_buckets": _HYPERPLANE_BUCKETS_DUCK,

@@ -43,6 +43,7 @@ __all__ = [
     "hill_tail_index",
     "two_proportion_ztest",
     "mutual_information",
+    "wilson_interval",
 ]
 
 
@@ -575,4 +576,38 @@ def mutual_information(
             F.count(F.lit(1)).alias("n_cells"),
             F.round(F.sum(term).cast("double"), 6).alias("mi_nats"),
         )
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-variant success rate with the Wilson score interval — the
+    CI that behaves at small n and extreme rates where the normal
+    approximation lies (Wilson 1927; the standard dashboard bound).
+    Exact integer trials/successes per variant; the bound is one fixed
+    IEEE tree (ratios, one sqrt — correctly rounded per IEEE — and the
+    z constant as a shared literal), round-6. One tiny aggregate."""
+    agg = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("c"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("c").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (F.lit(2.0) * nd)
+    half = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+    )
+    return agg.select(
+        "variant",
+        "n",
+        "c",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
