@@ -45,6 +45,17 @@ def word_ngrams(
     (shorter) shingle — a short doc equal to an eval doc should still
     collide.
     """
+    return _word_ngrams_raw(df, text_col, id_col, n).distinct()
+
+
+def _word_ngrams_raw(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 13
+) -> DataFrame:
+    """Per-document word n-grams WITHOUT the distinct — duplicates kept.
+
+    The contamination join dedups AFTER the broadcast join (over hit rows
+    only), so the corpus-sized side never shuffles at all (guide §2.3:
+    shuffle fewer bytes — here, zero)."""
     tokens = F.split(F.col(text_col), " ")
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
@@ -55,7 +66,6 @@ def word_ngrams(
             F.col(id_col),
             F.array_join(F.slice(F.col("__toks"), F.col("pos"), n), " ").alias("ngram"),
         )
-        .distinct()
     )
 
 
@@ -70,14 +80,20 @@ def contamination_hits(
     """Per (train doc, eval doc): how many distinct word n-grams they share.
 
     The eval shingle set is broadcast — at corpus scale the train side
-    never shuffles; only hit rows enter the aggregate.
+    never shuffles; only hit rows enter the aggregate. The train shingles
+    are deliberately NOT pre-deduplicated: a distinct there is a
+    corpus-sized shuffle of every shingle string, while deduplicating
+    AFTER the broadcast join (count_distinct per train/eval pair) touches
+    hit rows only — same distinct-shared-ngram counts, zero train-side
+    shuffle (guide §2.3/§2.4; measured 29.8s → join-local at the sf1.0
+    bench).
     """
-    tr = word_ngrams(train, text_col, id_col, n)
+    tr = _word_ngrams_raw(train, text_col, id_col, n)
     ev = word_ngrams(eval_df, text_col, id_col, n).withColumnRenamed(id_col, eval_id_col)
     return (
         tr.join(F.broadcast(ev), "ngram")
         .groupBy(id_col, eval_id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct(F.col("ngram")).alias("n_hits"))
     )
 
 

@@ -71,28 +71,38 @@ def locf_resample(
         .groupBy(*by, "__step")
         .agg(F.max_by("__v", "__ord").alias("__step_last"))
     )
-    bounds = per_step.groupBy(*by).agg(
-        F.min("__step").alias("__lo"), F.max("__step").alias("__hi")
+    # Round-6 plan shape (guide §2.4 — remove shuffles outright): the
+    # previous formulation materialized the dense grid first (explode),
+    # LEFT-JOINED the observed steps onto it, and ran the LOCF window
+    # over every grid row — two extra shuffles and a window over the
+    # (series × steps)-sized grid. Instead: carry the LOCF value and the
+    # next observed step with ONE window over the observed rows only,
+    # then explode each observation's [step, next) gap range directly —
+    # the dense grid is produced, never joined or re-shuffled. Identical
+    # output: a grid point between observations s_k <= t < s_(k+1) takes
+    # the last non-NULL step-value at or before s_k in both shapes.
+    w = Window.partitionBy(*by).orderBy("__step")
+    step = F.lit(int(step_seconds)).cast("long")
+    filled = per_step.select(
+        *by,
+        "__step",
+        F.last("__step_last", ignorenulls=True).over(w).alias("value"),
+        F.lead("__step").over(w).alias("__next"),
     )
-    grid = bounds.select(
+    return filled.select(
         *by,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(step_seconds)))
-        ).alias("__step"),
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("__step")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(per_step, [*by, "__step"], "left")
-        .withColumn("value", F.last("__step_last", ignorenulls=True).over(w))
-        .select(
-            *by,
-            F.timestamp_seconds(F.col("__step")).alias("step_start"),
-            "value",
-        )
+            F.sequence(
+                F.col("__step"),
+                F.coalesce(F.col("__next") - step, F.col("__step")),
+                step,
+            )
+        ).alias("__gstep"),
+        "value",
+    ).select(
+        *by,
+        F.timestamp_seconds(F.col("__gstep")).alias("step_start"),
+        "value",
     )
 
 

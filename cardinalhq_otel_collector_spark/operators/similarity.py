@@ -2,11 +2,11 @@
 
 Two tiers:
 
-  brute_force_topk   exact cosine top-k — the correctness baseline. The
-                     dot products are computed by exploding positions and
-                     summing in DECIMAL, which makes results bit-stable
-                     across partitionings and engines (float sums are
-                     order-dependent; decimal sums are exact).
+  brute_force_topk   exact cosine top-k — the correctness baseline. Dot
+                     products accumulate in DECIMAL (exact, so bit-stable
+                     across partitionings and engines; float sums are
+                     order-dependent), evaluated as one projection-level
+                     chain sum per pair (round 6 — no position explode).
   lsh_topk           hyperplane-sign LSH buckets → exact rerank within
                      bucket — the scale path: each query only scans its
                      bucket, so cost is n/2^bits per query instead of n.
@@ -44,10 +44,47 @@ def _pos_explode(df: DataFrame, vec_col: str, dim: int, out: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 expression-tree dot products (optimization guide §1.2 step 1 /
+# §2.4): the original formulation position-exploded every vector (dim rows
+# per vector), joined, and decimal-SUM-aggregated — a dim-fold row
+# inflation plus an Exchange per dot-product batch. A dot product over a
+# fixed ``dim`` needs no rows at all: it is one projection. The chain sum
+# below is VALUE-IDENTICAL to `F.sum` over the same decimal(38,18)-cast
+# terms: both are exact scale-18 decimal sums (the (37,18) re-cast keeps
+# Catalyst's add-result type at (38,18) each step, so no scale is ever
+# adjusted away and nothing rounds), and both cast the exact total to
+# double at the end. Precondition (already the operator contract, board-
+# verified): vectors are non-NULL with >= dim elements; |term| < 1e6.
+# ---------------------------------------------------------------------------
+
+
+def _dec_sum(terms: list) -> "F.Column":
+    acc = terms[0].cast("decimal(37,18)")
+    for t in terms[1:]:
+        acc = (acc + t).cast("decimal(37,18)")
+    return acc
+
+
+def _dot_col(a, b, dim: int) -> "F.Column":
+    return _dec_sum([
+        (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        ).cast("decimal(24,18)")
+        for i in range(1, dim + 1)
+    ])
+
+
+def _nrm2_col(v, dim: int) -> "F.Column":
+    return _dot_col(v, v, dim)
+
+
 def norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64) -> DataFrame:
-    e = _pos_explode(df.select(id_col, vec_col), vec_col, dim, "v")
-    return e.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)")).cast("double").alias("nrm2")
+    """Per-row squared L2 norm (ids are unique by operator contract, so
+    the previous explode+groupBy and this projection agree)."""
+    return df.select(
+        F.col(id_col),
+        _nrm2_col(F.col(vec_col), dim).cast("double").alias("nrm2"),
     )
 
 
@@ -63,23 +100,16 @@ def cosine_scores(
     queries is broadcast; the per-position products are decimal-summed.
     Output: (qid, vec_id, cosine).
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    c = corpus.select(F.col(id_col), F.col(vec_col))
-    pos = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i")
-    joined = c.join(F.broadcast(q), F.col("qid") != F.col(id_col)).select("qid", "qe", id_col, vec_col, pos)
-    prods = joined.withColumn(
-        "p",
-        (
-            F.element_at(F.col("qe"), F.col("i")).cast("double")
-            * F.element_at(F.col(vec_col), F.col("i")).cast("double")
-        ).cast("decimal(38,18)"),
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        _nrm2_col(F.col(vec_col), dim).cast("double").alias("qn"),
     )
-    dots = prods.groupBy("qid", id_col).agg(F.sum("p").cast("double").alias("dot"))
-    nq = norms(queries, vec_col, id_col, dim).withColumnRenamed(id_col, "qid").withColumnRenamed("nrm2", "qn")
-    nc = norms(corpus, vec_col, id_col, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    joined = c.join(F.broadcast(q), F.col("qid") != F.col(id_col))
     return (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nc, id_col)
+        joined.withColumn("dot", _dot_col(F.col("qe"), F.col(vec_col), dim).cast("double"))
+        .withColumn("nrm2", _nrm2_col(F.col(vec_col), dim).cast("double"))
         .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
         .select("qid", id_col, "cosine")
     )
@@ -126,6 +156,18 @@ def hyperplane_table(spark, bits: int, dim: int) -> DataFrame:
     return planes.crossJoin(dims).withColumn("w", w)
 
 
+def _hyperplane_w(plane: int, i: int) -> float:
+    """The hyperplane_table weight as a driver-side literal — the same
+    md5-prefix recipe evaluated in Python. Every step is the identical
+    IEEE-754 operation sequence (exact 32-bit int to double, one divide
+    by 2^32, one multiply, one subtract), so the doubles are bit-equal to
+    the Spark expression's (guarded by tests/test_similarity.py)."""
+    import hashlib
+
+    x = int(hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[:8], 16)
+    return float(x) / float(1 << 32) * 2 - 1
+
+
 def hyperplane_buckets(
     df: DataFrame, bits: int = 4, n_bands: int = 1, vec_col: str = "embedding",
     id_col: str = "vec_id", dim: int = 64,
@@ -135,23 +177,56 @@ def hyperplane_buckets(
     ``n_bands`` independent tables of ``bits`` planes each; a pair is a
     candidate if it collides in ANY band (the standard LSH OR-construction:
     recall grows with bands, candidate count stays O(rows·bands)). Output:
-    one row per (row, band) with an integer bucket. One explode +
-    broadcast join with the (bands·bits × dim) hyperplane table + two
-    groupBys — no all-pairs anything.
+    one row per (row, band) with an integer bucket.
+
+    Round-6 shape (guide §2.4 — remove shuffles): the hyperplane weights
+    are driver-side LITERAL arrays (``_hyperplane_w`` — bit-equal to
+    hyperplane_table's md5 expression, guarded by a test), so the
+    per-plane decimal dot products are parallel `F.sum` aggregates of
+    the position-exploded vector against a constant-folded array lookup.
+    One hash aggregation per corpus (map-side combined), zero joins —
+    the previous plan joined the exploded positions against the
+    hyperplane table (a planes-fold row inflation) and aggregated twice.
+    Identical decimal sums → identical sign bits → identical buckets.
     """
-    spark = df.sparkSession
-    hp = hyperplane_table(spark, bits * n_bands, dim).withColumn(
-        "band", (F.col("plane") / bits).cast("int")
-    )
+    planes = list(range(bits * n_bands))
+    w_arrs = {
+        p: F.array(*[F.lit(_hyperplane_w(p, i)) for i in range(1, dim + 1)])
+        for p in planes
+    }
     e = _pos_explode(df.select(id_col, vec_col), vec_col, dim, "v")
-    dots = (
-        e.join(F.broadcast(hp), "i")
-        .groupBy(id_col, "band", "plane")
-        .agg(F.sum((F.col("v") * F.col("w")).cast("decimal(38,18)")).alias("d"))
+    d = e.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.col("v") * F.element_at(w_arrs[p], F.col("i"))).cast(
+                    "decimal(38,18)"
+                )
+            ).alias(f"__d{p}")
+            for p in planes
+        ]
     )
-    bit = F.when(F.col("d") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    return dots.groupBy(id_col, "band").agg(
-        F.sum(bit * F.expr(f"shiftleft(1L, cast(plane % {bits} as int))")).alias("bucket")
+    band_structs = []
+    for band in range(n_bands):
+        bucket = None
+        for j in range(bits):
+            p = band * bits + j
+            bit = (
+                F.when(F.col(f"__d{p}") >= 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(
+                F.lit(band).cast("int").alias("band"), bucket.alias("bucket")
+            )
+        )
+    return d.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
+    ).select(
+        id_col,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
     )
 
 
@@ -183,22 +258,29 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    e = _pos_explode(corpus.select(id_col, vec_col), vec_col, dim, "v").select(
-        id_col, "i", "v"
+    side = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nrm2_col(F.col(vec_col), dim).cast("double").alias("__n"),
     )
-    dots = (
-        cand.join(e.select(F.col(id_col).alias("id_a"), "i", F.col("v").alias("va")), "id_a")
-        .join(
-            e.select(F.col(id_col).alias("id_b"), F.col("i"), F.col("v").alias("vb")),
-            ["id_b", "i"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,18)")).cast("double").alias("dot"))
-    )
-    n = norms(corpus, vec_col, id_col, dim)
     return (
-        dots.join(n.select(F.col(id_col).alias("id_a"), F.col("nrm2").alias("na")), "id_a")
-        .join(n.select(F.col(id_col).alias("id_b"), F.col("nrm2").alias("nb")), "id_b")
+        cand.join(
+            side.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("__va"),
+                F.col("__n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("__vb"),
+                F.col("__n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("dot", _dot_col(F.col("__va"), F.col("__vb"), dim).cast("double"))
         .withColumn("cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -394,7 +476,11 @@ def lsh_topk(
     qb = hyperplane_buckets(queries, bits, n_bands, vec_col, id_col, dim).select(
         F.col(id_col).alias("qid"), "band", "bucket"
     )
-    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        _nrm2_col(F.col(vec_col), dim).cast("double").alias("qn"),
+    )
     cb = hyperplane_buckets(corpus, bits, n_bands, vec_col, id_col, dim)
     cands = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
@@ -402,25 +488,15 @@ def lsh_topk(
         .select("qid", id_col)
         .distinct()
     )
-    pos = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i")
-    joined = (
+    # exact rerank as one projection per candidate pair (guide §2.4): the
+    # corpus row carries its own norm, the broadcast query row carries
+    # its vector + norm — no explode, no dot/norm aggregations, no norm
+    # joins. Decimal sums are value-identical to the aggregate form.
+    scored = (
         cands.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(qv), "qid")
-        .select("qid", "qe", id_col, vec_col, pos)
-    )
-    prods = joined.withColumn(
-        "p",
-        (
-            F.element_at(F.col("qe"), F.col("i")).cast("double")
-            * F.element_at(F.col(vec_col), F.col("i")).cast("double")
-        ).cast("decimal(38,18)"),
-    )
-    dots = prods.groupBy("qid", id_col).agg(F.sum("p").cast("double").alias("dot"))
-    nq = norms(queries, vec_col, id_col, dim).withColumnRenamed(id_col, "qid").withColumnRenamed("nrm2", "qn")
-    nc = norms(corpus, vec_col, id_col, dim)
-    scored = (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nc, id_col)
+        .withColumn("dot", _dot_col(F.col("qe"), F.col(vec_col), dim).cast("double"))
+        .withColumn("nrm2", _nrm2_col(F.col(vec_col), dim).cast("double"))
         .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))

@@ -81,6 +81,18 @@ def build_spark(
         # summary-metadata pass is another whole-output serial walk.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+        # Input split size (guide §6): the local fixtures/bench inputs are
+        # a few MB-to-tens-of-MB per file, so the 128 MB default packs the
+        # whole input into a handful of splits and leaves most cores idle
+        # through the scan stage (openCost charges 4 MB per file on top).
+        # 16 MB matches splits to local core counts. Scale-dependent and
+        # env-overridable: on a real cluster scanning TB-sized tables set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m..1g (guide §6/§9 — fewer,
+        # larger map tasks feeding each shuffle).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

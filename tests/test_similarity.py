@@ -138,3 +138,17 @@ def test_embedding_neardup_pairs_canonical_order(spark):
     assert len({(r["id_a"], r["id_b"]) for r in rows}) == len(rows)
     # all-parallel vectors: every pair is cosine 1 — all 15 pairs survive
     assert len(rows) == 15
+
+
+def test_hyperplane_literal_weights_match_table(spark):
+    """Round-6 guard: the driver-side literal weights must be bit-equal to
+    the hyperplane_table md5 expression for every (plane, i)."""
+    from cardinalhq_otel_collector_spark.operators.similarity import (
+        _hyperplane_w,
+        hyperplane_table,
+    )
+
+    rows = hyperplane_table(spark, bits=8, dim=16).collect()
+    assert len(rows) == 8 * 16
+    for r in rows:
+        assert r["w"] == _hyperplane_w(r["plane"], r["i"]), (r["plane"], r["i"])
