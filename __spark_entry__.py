@@ -36,6 +36,19 @@ def _parse_bytes(v: str) -> int:
 
 
 _SCAN_EST_CACHE: dict[tuple[str, str], int] = {}
+_SCAN_SIZE_CACHE: dict[tuple[str, str], int] = {}
+
+# unique-ish key per fixture table for the deterministic hash respread
+_RESPREAD_KEYS: dict[str, str] = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -76,12 +89,23 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             mpb = 128 << 20
         est = int(size // max(mpb, 1)) + 1
         _SCAN_EST_CACHE[key] = est
+        _SCAN_SIZE_CACHE[key] = size
     # Trigger only when the native split count is far below the core
     # count: a table that already splits par/4-wide (e.g. the 126 MB
     # lineitem file) loses more to a full-width exchange than it gains
     # in extra parallelism (measured: tpch_q1 2.5s → 3.3s when respread).
-    if est < max(par // 4, 2):
-        df = df.repartition(2 * par)
+    # Tables under 256 KB (region/nation/supplier) skip it — they are
+    # broadcast-side dimensions where 64 near-empty tasks is pure
+    # overhead. Hash-partition on the table's unique key, NOT round-robin:
+    # round-robin pays a local sort of the whole input on the (single)
+    # scan task (SPARK-23207), a hash exchange does not, and a
+    # deterministic key is retry-safe (guide §2.5).
+    if est < max(par // 4, 2) and _SCAN_SIZE_CACHE.get(key, 0) >= (256 << 10):
+        split_key = _RESPREAD_KEYS.get(table)
+        if split_key is not None:
+            df = df.repartition(2 * par, F.col(split_key))
+        else:
+            df = df.repartition(2 * par)
     return df
 
 

@@ -158,17 +158,13 @@ def theil_sen_trend(
     ((dv/dt_us)·3.6e9), median via the exact-percentile round-6
     discipline.
 
-    Round-6 plan shape (optimization guide §2.3/§2.4 — aggregate before
-    you shuffle, move decisions to small rows): ONE hash aggregation
-    collects each series as a sorted (t, id, v) array, and the O(n_i²)
-    pairwise slopes are formed INSIDE the array with nested SQL lambdas —
-    the previous self equi-join shuffled both sides and pushed every pair
-    (33M rows at the sf1.0 bench) through a SortMergeJoin + percentile
-    aggregate; this shuffles only the raw points once. The median
-    replicates Spark's exact ``percentile`` bit-for-bit (sorted values,
-    position p·(n−1), linear interpolation with 0.5 coefficients — exact
-    in IEEE; equal neighbor keys short-circuit like Percentile.scala), so
-    results are identical to the join formulation.
+    Round-6 note (guide §1.1 — empirical beats first-principles): an
+    array formulation (collect each series sorted, form slopes with
+    nested SQL lambdas, one shuffle) was built and measured head-to-head
+    at the sf1.0 bench: 8.4s vs 5.3s for this join — HOF lambdas are
+    interpreted per element while the join+percentile path is fully
+    codegen'd, so once the input scan is spread across cores (the round-6
+    ``_read`` respread) the join formulation wins. Kept as-is.
     """
     base = df.select(
         *by,
@@ -176,36 +172,35 @@ def theil_sen_trend(
         F.col(value_col).alias("__v"),
         F.col(id_col).alias("__id"),
     )
-    pts = base.groupBy(*by).agg(
-        F.array_sort(F.collect_list(F.struct("__t", "__id", "__v"))).alias("__p")
+    a = base
+    b = base.select(
+        *[F.col(c).alias(f"{c}__b") for c in by],
+        F.col("__t").alias("__t2"),
+        F.col("__v").alias("__v2"),
+        F.col("__id").alias("__id2"),
     )
-    # pairs (i < j in (t, id)-sorted order) with strictly increasing t —
-    # exactly the pair set of the join formulation (a.t < b.t, the
-    # equal-t pairs excluded); slope tree is the identical IEEE tree
-    # ((v2-v1) / double(t2-t1) * 3.6e9).
-    slopes = F.expr(
-        "flatten(transform(__p, (x, i) -> "
-        "transform(filter(slice(__p, i + 2, size(__p) - i - 1), "
-        "y -> y.__t > x.__t), "
-        "y -> (y.__v - x.__v) / CAST(y.__t - x.__t AS DOUBLE) * 3600000000.0D)))"
+    cond = None
+    for c in by:
+        eq = a[c] == b[f"{c}__b"]
+        cond = eq if cond is None else (cond & eq)
+    # strict (t, id) order makes each unordered pair appear exactly once
+    cond = cond & (
+        (a["__t"] < b["__t2"])
+        | ((a["__t"] == b["__t2"]) & (a["__id"] < b["__id2"]))
     )
-    slop = pts.select(*by, slopes.alias("__s")).where(F.size("__s") > 0)
-    srt = F.array_sort(F.expr("filter(__s, s -> s IS NOT NULL)"))
-    m = F.size(srt)
-    pos = F.lit(0.5) * (m - F.lit(1)).cast("double")
-    lo = F.floor(pos).cast("int")
-    hi = F.ceil(pos).cast("int")
-    lo_v = F.element_at(srt, lo + F.lit(1))
-    hi_v = F.element_at(srt, hi + F.lit(1))
-    med = (
-        F.when(m == 0, F.lit(None).cast("double"))
-        .when((hi == lo) | (lo_v == hi_v), lo_v)
-        .otherwise(
-            (hi.cast("double") - pos) * lo_v + (pos - lo.cast("double")) * hi_v
+    pairs = a.join(b, cond).where(F.col("__t2") != F.col("__t"))
+    slope_ph = (
+        (F.col("__v2") - F.col("__v"))
+        / (F.col("__t2") - F.col("__t")).cast("double")
+        * F.lit(3600000000.0)
+    )
+    return (
+        pairs.select(*by, slope_ph.alias("__s"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile(F.col("__s"), F.lit(0.5)), 6).alias(
+                "slope_per_hour"
+            ),
         )
-    )
-    return slop.select(
-        *by,
-        F.size("__s").cast("long").alias("n_pairs"),
-        F.round(med, 6).alias("slope_per_hour"),
     )

@@ -56,19 +56,25 @@ def cms_counts(
 
     Returns (key, est_n) with est_n >= the true count.
     """
+    # Round-6 shape (guide §2.3 — aggregate before anything per-row):
+    # this operator returns an estimate per DISTINCT key, so a
+    # cardinality-sized aggregate is already inherent (the probe side).
+    # Fold the grid INTO it: count rows per key first (one map-side-
+    # combined hash agg over the data — no hashing on the row-sized
+    # side at all), then build the identical grid as a sum of per-key
+    # counts. md5 work drops from rows x depth to distinct-keys x depth
+    # (4M -> 300k at the sf1.0 bench); the grid cells are exactly the
+    # same integers, since count(rows in cell) == sum of per-key counts
+    # hashing to that cell.
     keyed = df.where(F.col(key_col).isNotNull()).select(F.col(key_col).alias("key"))
+    kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
-    grid = (
-        keyed.select("key", rows)
-        .select("i", _cell(F.col("i"), F.col("key"), width).alias("cell"))
-        .groupBy("i", "cell")
-        .agg(F.count(F.lit(1)).alias("n"))
+    cells = kc.select("key", "__n", rows).select(
+        "key", "__n", "i", _cell(F.col("i"), F.col("key"), width).alias("cell")
     )
-    probes = keyed.distinct().select("key", rows).select(
-        "key", "i", _cell(F.col("i"), F.col("key"), width).alias("cell")
-    )
+    grid = cells.groupBy("i", "cell").agg(F.sum("__n").alias("n"))
     return (
-        probes.join(F.broadcast(grid), ["i", "cell"])
+        cells.join(F.broadcast(grid), ["i", "cell"])
         .groupBy("key")
         .agg(F.min("n").alias("est_n"))
         .withColumnRenamed("key", key_col)

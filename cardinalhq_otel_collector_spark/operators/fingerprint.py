@@ -58,8 +58,15 @@ _MASKS: list[tuple[str, str]] = [
 
 def mask_template(col: Column) -> Column:
     out = col
-    for pat, mask in _MASKS:
-        out = F.regexp_replace(out, pat, mask)
+    for i, (pat, mask) in enumerate(_MASKS):
+        rep = F.regexp_replace(out, pat, mask)
+        if i == 0:
+            # uuid pass guard (guide §1.2): any uuid match requires a '-'
+            # — a cheap contains() on the pass's own input skips the regex
+            # engine on the (majority of) rows with no dash at all; the
+            # replace is the identity on those rows, so output is equal.
+            rep = F.when(F.contains(col, F.lit("-")), rep).otherwise(out)
+        out = rep
     return out
 
 

@@ -62,7 +62,13 @@ def parse_keyvalue(
         # two-group form ran the same regex twice per field (regexp_extract
         # re-executes per group index) — measured ~2x the parse CPU.
         pat = rf'(?:^|\s){re.escape(name)}=("[^"]*"|\S+)'
-        got = F.regexp_extract(F.col(text_col), pat, 1)
+        # contains() guard (guide §1.2): any match must contain the
+        # literal 'name=' — rows without it skip the regex engine and
+        # yield the same empty extraction the regex would have
+        got = F.when(
+            F.contains(F.col(text_col), F.lit(f"{name}=")),
+            F.regexp_extract(F.col(text_col), pat, 1),
+        ).otherwise(F.lit(""))
         is_quoted = got.startswith('"') & got.endswith('"') & (F.length(got) >= 2)
         unquoted = F.when(
             is_quoted, got.substr(F.lit(2), F.length(got) - 2)

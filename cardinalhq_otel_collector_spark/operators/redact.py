@@ -24,6 +24,21 @@ DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 
+# Round-6 per-task-work guards (guide §1.2 step 2): a literal character
+# the regex PROVABLY requires in any match, keyed by the exact regex text
+# (only the known default patterns get a guard — a custom regex runs
+# unguarded). `contains` is a cheap codegen'd scan, so rows that cannot
+# match skip the regex engine entirely; outputs are identical because
+# regexp_replace is the identity on non-matching rows. Guards test the
+# PRE-CHAIN text, which is sound only while no earlier mask can introduce
+# the guard character — checked at plan-build time in redact().
+_GUARD_HINTS: dict[str, str] = {
+    DEFAULT_PII_PATTERNS[0][1]: "@",
+    DEFAULT_PII_PATTERNS[1][1]: "-",
+    DEFAULT_PII_PATTERNS[2][1]: "1",
+    DEFAULT_PII_PATTERNS[3][1]: ".",
+}
+
 
 def redact(
     df: DataFrame,
@@ -39,9 +54,18 @@ def redact(
     original, sinks that require masking select ``out_col``.
     """
     patterns = DEFAULT_PII_PATTERNS if patterns is None else patterns
-    masked: Column = F.col(text_col)
-    for _, regex, mask in patterns:
-        masked = F.regexp_replace(masked, regex, mask)
+    orig = F.col(text_col)
+    masked: Column = orig
+    for idx, (_, regex, mask) in enumerate(patterns):
+        rep = F.regexp_replace(masked, regex, mask)
+        hint = _GUARD_HINTS.get(regex)
+        earlier_masks = [m for _, _, m in patterns[:idx]]
+        if hint and not any(hint in m for m in earlier_masks):
+            # skip the regex pass on rows whose ORIGINAL text lacks the
+            # required literal (sound: earlier masks cannot introduce it)
+            masked = F.when(F.contains(orig, F.lit(hint)), rep).otherwise(masked)
+        else:
+            masked = rep
     # has_pii = "masking changed the text": one string compare instead of
     # one rlike scan per pattern (masks are chosen so no replacement can
     # itself match a pattern, making the equivalence exact)

@@ -17,7 +17,7 @@ collapse miscompilation — see operators/fingerprint.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -59,23 +59,28 @@ def _pos_explode(df: DataFrame, vec_col: str, dim: int, out: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dec_sum(terms: list) -> "F.Column":
-    acc = terms[0].cast("decimal(37,18)")
+def _dec_chain_sql(terms: list[str]) -> str:
+    """SQL text of the exact decimal chain sum over ``terms`` (each a
+    DECIMAL(24,18) expression). Built as ONE string and parsed JVM-side in
+    a single F.expr call: the equivalent py4j Column algebra costs hundreds
+    of driver round-trips per chain, which showed up as whole seconds of
+    per-query plan-construction time at the bench."""
+    acc = f"CAST({terms[0]} AS DECIMAL(37,18))"
     for t in terms[1:]:
-        acc = (acc + t).cast("decimal(37,18)")
+        acc = f"CAST(({acc} + {t}) AS DECIMAL(37,18))"
     return acc
 
 
-def _dot_col(a, b, dim: int) -> "F.Column":
-    return _dec_sum([
-        (
-            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        ).cast("decimal(24,18)")
+def _dot_col(a: str, b: str, dim: int) -> Column:
+    terms = [
+        f"CAST(CAST(element_at(`{a}`, {i}) AS DOUBLE) * "
+        f"CAST(element_at(`{b}`, {i}) AS DOUBLE) AS DECIMAL(24,18))"
         for i in range(1, dim + 1)
-    ])
+    ]
+    return F.expr(_dec_chain_sql(terms))
 
 
-def _nrm2_col(v, dim: int) -> "F.Column":
+def _nrm2_col(v: str, dim: int) -> Column:
     return _dot_col(v, v, dim)
 
 
@@ -84,7 +89,7 @@ def norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", dim
     the previous explode+groupBy and this projection agree)."""
     return df.select(
         F.col(id_col),
-        _nrm2_col(F.col(vec_col), dim).cast("double").alias("nrm2"),
+        _nrm2_col(vec_col, dim).cast("double").alias("nrm2"),
     )
 
 
@@ -103,13 +108,18 @@ def cosine_scores(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
-        _nrm2_col(F.col(vec_col), dim).cast("double").alias("qn"),
+        _nrm2_col(vec_col, dim).cast("double").alias("qn"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    # corpus norm hoisted BEFORE the pair join: one chain per corpus row,
+    # not one per (query, corpus) pair
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nrm2_col(vec_col, dim).cast("double").alias("nrm2"),
+    )
     joined = c.join(F.broadcast(q), F.col("qid") != F.col(id_col))
     return (
-        joined.withColumn("dot", _dot_col(F.col("qe"), F.col(vec_col), dim).cast("double"))
-        .withColumn("nrm2", _nrm2_col(F.col(vec_col), dim).cast("double"))
+        joined.withColumn("dot", _dot_col("qe", vec_col, dim).cast("double"))
         .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
         .select("qid", id_col, "cosine")
     )
@@ -190,21 +200,22 @@ def hyperplane_buckets(
     Identical decimal sums → identical sign bits → identical buckets.
     """
     planes = list(range(bits * n_bands))
-    w_arrs = {
-        p: F.array(*[F.lit(_hyperplane_w(p, i)) for i in range(1, dim + 1)])
-        for p in planes
-    }
     e = _pos_explode(df.select(id_col, vec_col), vec_col, dim, "v")
-    d = e.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.col("v") * F.element_at(w_arrs[p], F.col("i"))).cast(
-                    "decimal(38,18)"
-                )
+    # one F.expr per plane (SQL text, not py4j column algebra — see
+    # _dec_chain_sql): the literal weight array constant-folds, so each
+    # update is one multiply + decimal cast into a map-side-combined sum
+    aggs = []
+    for p in planes:
+        lits = ", ".join(
+            f"CAST({_hyperplane_w(p, i)!r} AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        aggs.append(
+            F.expr(
+                f"sum(CAST(v * element_at(array({lits}), i) AS DECIMAL(38,18)))"
             ).alias(f"__d{p}")
-            for p in planes
-        ]
-    )
+        )
+    d = e.groupBy(id_col).agg(*aggs)
     band_structs = []
     for band in range(n_bands):
         bucket = None
@@ -261,7 +272,7 @@ def embedding_neardup_pairs(
     side = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        _nrm2_col(F.col(vec_col), dim).cast("double").alias("__n"),
+        _nrm2_col(vec_col, dim).cast("double").alias("__n"),
     )
     return (
         cand.join(
@@ -280,7 +291,7 @@ def embedding_neardup_pairs(
             ),
             "id_b",
         )
-        .withColumn("dot", _dot_col(F.col("__va"), F.col("__vb"), dim).cast("double"))
+        .withColumn("dot", _dot_col("__va", "__vb", dim).cast("double"))
         .withColumn("cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -479,7 +490,7 @@ def lsh_topk(
     qv = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
-        _nrm2_col(F.col(vec_col), dim).cast("double").alias("qn"),
+        _nrm2_col(vec_col, dim).cast("double").alias("qn"),
     )
     cb = hyperplane_buckets(corpus, bits, n_bands, vec_col, id_col, dim)
     cands = (
@@ -492,11 +503,15 @@ def lsh_topk(
     # corpus row carries its own norm, the broadcast query row carries
     # its vector + norm — no explode, no dot/norm aggregations, no norm
     # joins. Decimal sums are value-identical to the aggregate form.
+    side = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nrm2_col(vec_col, dim).cast("double").alias("nrm2"),
+    )
     scored = (
-        cands.join(corpus.select(id_col, vec_col), id_col)
+        cands.join(side, id_col)
         .join(F.broadcast(qv), "qid")
-        .withColumn("dot", _dot_col(F.col("qe"), F.col(vec_col), dim).cast("double"))
-        .withColumn("nrm2", _nrm2_col(F.col(vec_col), dim).cast("double"))
+        .withColumn("dot", _dot_col("qe", vec_col, dim).cast("double"))
         .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
