@@ -31,9 +31,13 @@ def cohort_retention(
     weekly offset from their cohort (first active) week."""
     week = F.date_trunc("week", F.col(ts_col)).alias("w")
     activity = df.select(F.col(user_col), week).distinct()
-    cohorts = activity.groupBy(user_col).agg(F.min("w").alias("cohort_week"))
+    # per-user first week as a window over the distinct activity pairs —
+    # the previous groupBy+self-join referenced ``activity`` twice, so
+    # the scan+distinct chain planned (and could run) twice (guide §2.4);
+    # min over the same pairs is the identical cohort week
+    wu = Window.partitionBy(user_col)
     return (
-        activity.join(cohorts, user_col)
+        activity.withColumn("cohort_week", F.min("w").over(wu))
         .withColumn(
             "week_offset",
             F.floor(

@@ -108,13 +108,14 @@ def transition_counts(
     counts = pairs.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("n")
     )
-    totals = counts.groupBy("from_state").agg(F.sum("n").alias("__tot"))
-    return (
-        counts.join(F.broadcast(totals), "from_state")
-        .withColumn(
-            "prob", F.col("n").cast("double") / F.col("__tot").cast("double")
-        )
-        .drop("__tot")
+    # per-from totals as a window over the states²-sized counts frame —
+    # the previous totals-agg + join referenced ``counts`` twice, which
+    # re-planned (and could re-run) the whole scan+lag chain per branch
+    # (guide §2.4); same exact integer total, one pass
+    wt = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "prob",
+        F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
     )
 
 

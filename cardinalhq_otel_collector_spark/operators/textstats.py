@@ -347,14 +347,23 @@ def pmi_collocations(
         .filter(F.col("w2").isNotNull())
         .select(F.col("w").alias("w1"), "w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Round-6 single-pass shape (guide §2.4): the previous formulation
+    # referenced ``big`` four times (c12, both unigram legs, N), so the
+    # explode + doc-window chain planned — and without AQE stage reuse,
+    # ran — four times over the corpus. Aggregate the bigram table ONCE;
+    # unigram counts and N are exact integer rollups OF that table
+    # (c(w) = Σ_w2 c12(w,·) + Σ_w1 c12(·,w), N = Σ c12), so every
+    # downstream branch re-derives from the vocabulary²-sized aggregate
+    # instead of the corpus. Counts are identical integers.
+    c12_all = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12_all
     uni = (
-        big.select(F.col("w1").alias("w"))
-        .unionAll(big.select(F.col("w2").alias("w")))
+        c12_all.select(F.col("w1").alias("w"), "c12")
+        .unionAll(c12_all.select(F.col("w2").alias("w"), "c12"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c12").alias("c"))
     )
-    n = big.agg(F.count(F.lit(1)).alias("__n"))
+    n = c12_all.agg(F.sum("c12").alias("__n"))
     scored = (
         c12.filter(F.col("c12") >= min_count)
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
