@@ -46,12 +46,16 @@ def test_histogram_is_two_phase_hash_agg(spark):
     assert "Python" not in plan
 
 
-def test_hyperplane_buckets_broadcasts_plane_table(spark):
+def test_hyperplane_buckets_plans_no_join(spark):
+    """Round 6: the plane weights are constant-folded literals, so the
+    bucketing is one hash aggregate — no join of any strategy, and only
+    the aggregate's own exchange."""
     emb = spark.createDataFrame(
         [(1, [0.1] * 8)], "vec_id long, embedding array<double>"
     )
     plan = _plan(hyperplane_buckets(emb, bits=2, n_bands=1, dim=8))
-    assert "BroadcastHashJoin" in plan  # plane table broadcast, never shuffled
+    assert "Join" not in plan  # weights are literals, nothing to join
+    assert plan.count("HashAggregate") >= 2  # map-side combine
     assert "Python" not in plan
 
 
