@@ -51,9 +51,17 @@ _RESPREAD_KEYS: dict[str, str] = {
 }
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
+    if not spread:
+        # Aggregate-first queries collapse their input with map-side
+        # partial aggregation before any shuffle, so a pre-exchange only
+        # adds cost (measured +0.5-0.8s flat per query at sf1.0);
+        # per-row-heavy queries opt in below.
+        return df
     # Scan-parallelism guard (optimization guide §2.5 input skew, §6 split
     # size): the small-SF fixtures are single parquet files with ONE row
     # group, so the scan — and every projection/explode/broadcast-probe
@@ -111,7 +119,10 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
     for t in _TABLES:
-        _read(spark, sf_dir, t).createOrReplaceTempView(t)
+        # lineitem is the one fact-sized view (tpch_q1's decimal-heavy
+        # aggregation input): the respread wins there (measured 2.4s ->
+        # 2.2s); dimension views are broadcast-side and stay plain
+        _read(spark, sf_dir, t, spread=(t == "lineitem")).createOrReplaceTempView(t)
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +142,7 @@ _DEC = "decimal(18,6)"
 def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 analogue on the events table: JSON-prop extraction (otlpjson
     connector shape, __spark_entry__ parse stage)."""
-    return _read(spark, sf_dir, "events").withColumn(
+    return _read(spark, sf_dir, "events", spread=True).withColumn(
         "k", F.get_json_object("props", "$.k").cast("int")
     )
 
@@ -332,7 +343,7 @@ def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 pass 1 over synthetic log lines: mask → template → count."""
     from cardinalhq_otel_collector_spark.operators.fingerprint import fingerprint
 
-    lines = _read(spark, sf_dir, "events").select(
+    lines = _read(spark, sf_dir, "events", spread=True).select(
         F.concat(
             F.lit("user "), F.col("user_id").cast("string"),
             F.lit(" did "), F.col("event_type"),
@@ -350,7 +361,7 @@ def q_sumo_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
     'message' = log attrs + body under 'log'."""
     from cardinalhq_otel_collector_spark.operators.marshal import sumo_ic_lines
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", spread=True)
     out = sumo_ic_lines(
         ev,
         source_name=F.lit("events"),
@@ -654,7 +665,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its contamination evidence)."""
     from cardinalhq_otel_collector_spark.operators.decontaminate import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     eval_df = docs.filter(F.col("doc_id") < 20)
     train = docs.filter(F.col("doc_id") >= 20)
     out = decontaminate(train, eval_df, n=5, min_hits=1, keep_contaminated=True)
@@ -755,7 +766,7 @@ def q_doc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalhq_otel_collector_spark.operators.textstats import pmi_collocations
 
     return pmi_collocations(
-        _read(spark, sf_dir, "documents"), k=20, min_count=5
+        _read(spark, sf_dir, "documents", spread=True), k=20, min_count=5
     )
 
 
@@ -783,7 +794,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalhq_otel_collector_spark.operators.textstats import chunk_documents
 
     return chunk_documents(
-        _read(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+        _read(spark, sf_dir, "documents", spread=True), chunk_tokens=32, overlap=8
     )
 
 
@@ -925,7 +936,7 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded; all ln arguments exact integers)."""
     from cardinalhq_otel_collector_spark.operators.textstats import token_entropy
 
-    return token_entropy(_read(spark, sf_dir, "documents"))
+    return token_entropy(_read(spark, sf_dir, "documents", spread=True))
 
 
 def q_events_json_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,7 +944,7 @@ def q_events_json_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, vectorized from_json — no inference scan, no Python)."""
     from cardinalhq_otel_collector_spark.operators.parse import parse_json_attrs
 
-    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    ev = _read(spark, sf_dir, "events", spread=True).select("event_id", "props")
     return parse_json_attrs(ev, "props", {"k": "int"}).select("event_id", "k")
 
 
@@ -1016,7 +1027,7 @@ def q_doc_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return remove_high_df_tokens(
-        _read(spark, sf_dir, "documents"), max_df_ratio=0.78
+        _read(spark, sf_dir, "documents", spread=True), max_df_ratio=0.78
     )
 
 
@@ -1143,7 +1154,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalhq_otel_collector_spark.operators.similarity import brute_force_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(q, emb, k=3).select("qid", "vec_id", "cosine", "nn_rank")
 
@@ -1169,7 +1180,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH candidates → exact decimal-summed rerank."""
     from cardinalhq_otel_collector_spark.operators.similarity import lsh_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(q, emb, k=3, bits=4, n_bands=2)
 
@@ -3637,7 +3648,7 @@ def q_events_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window forward — floor-integer values, engine-exact."""
     from cardinalhq_otel_collector_spark.operators.resample import locf_resample
 
-    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    ev = _read(spark, sf_dir, "events", spread=True).select("user_id", "ts", "value", "event_id")
     return locf_resample(
         ev, ["user_id"], "ts", "value", step_seconds=3600, order_tiebreak="event_id"
     )
@@ -3651,7 +3662,7 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the identical md5 grid."""
     from cardinalhq_otel_collector_spark.operators.cms import cms_counts
 
-    ev = _read(spark, sf_dir, "events").select(
+    ev = _read(spark, sf_dir, "events", spread=True).select(
         F.concat(
             F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
         ).alias("k")
@@ -4101,7 +4112,7 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for an LM."""
     from cardinalhq_otel_collector_spark.operators.textstats import unigram_surprisal
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return unigram_surprisal(docs)
 
 
@@ -4140,7 +4151,7 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, O(n_i²) per series by the estimator's nature."""
     from cardinalhq_otel_collector_spark.operators.anomaly import theil_sen_trend
 
-    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    ev = _read(spark, sf_dir, "events", spread=True).select("user_id", "ts", "value", "event_id")
     return theil_sen_trend(ev, ["user_id"], "ts", "value", "event_id")
 
 

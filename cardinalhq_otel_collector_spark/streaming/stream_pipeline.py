@@ -202,11 +202,24 @@ def stream_stream_interval_join(
     unconstrained stream-stream join would buffer both streams
     forever; Spark rejects it in append mode for exactly that reason).
 
+    Bound semantics: BOTH ends inclusive (``lower <= r.ts - l.ts <=
+    upper``). Note this differs from batch ``range_join``, whose upper
+    bound is EXCLUSIVE (``r.ts < l.ts + upper``): a row landing exactly
+    at ``l.ts + upper`` joins here but not there. Whole seconds only —
+    fractional bounds are rejected rather than silently truncated.
+
     Inner-join emission is match-driven, not window-close-driven, so
     with generous watermarks over replayed (file) sources the emitted
-    set equals the batch range join — which is how the oracle checks
-    this operator end to end.
+    set equals the batch range join on inputs that avoid the
+    upper-boundary instant — which is how the oracle checks this
+    operator end to end.
     """
+    for nm, v in (("lower_seconds", lower_seconds), ("upper_seconds", upper_seconds)):
+        if float(v) != int(v):
+            raise ValueError(
+                f"{nm}={v!r}: fractional second bounds are not supported "
+                "(INTERVAL is built in whole seconds); pass integral values"
+            )
     lcols = left.columns
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = (
