@@ -444,46 +444,53 @@ def remove_high_df_tokens(
     re-assembled in original order. Output: id, text_filtered,
     n_kept / n_removed counts.
 
-    Shape at scale: one posexplode fan-out scanned twice is avoided —
-    the DF table is vocabulary-sized (one hash agg of distinct
-    (token, doc) pairs), broadcast back onto the positions (AQE
-    broadcasts vocab-sized sides), and reconstruction is the
-    deterministic array_sort(collect_list(struct)) used across this
-    repo (assemble_ordered), partitions bounded by document length.
-    The total-docs denominator is a 1-row broadcast cross join, exact
-    integers compared via n_docs · 1 > ratio · total (no per-row
-    division drift: one identically-rounded double multiply).
+    Shape at scale (round 6): a token's keep/drop decision depends only
+    on the token string, never the position, so the document is never
+    taken apart. The removed-token set is computed vocabulary-sized
+    (explode of array_distinct per doc -> one map-side-combined count —
+    the same integers as countDistinct(doc) over raw tokens), reduced
+    to the tokens OVER the threshold (a handful by construction: they
+    must appear in >ratio of ALL documents), collected into a one-row
+    array and broadcast-cross-joined back; each document then filters
+    its own split array in place. The token-level broadcast join and
+    the array_sort(collect_list(struct)) reassembly shuffle of every
+    token occurrence are gone — no data-sized exchange remains, only
+    the vocab-sized aggregate. The threshold compare is the identical
+    double multiply as before (strict complement: drop iff
+    n_docs > ratio · total), so the kept set is bit-for-bit the same.
     """
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
-    dfreq = words.groupBy("w").agg(
-        F.countDistinct(id_col).alias("__ndocs")
+    dfreq = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
     )
     total = df.select(F.count(F.lit(1)).alias("__total"))
-    flagged = words.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(total))
-    kept = flagged.withColumn(
-        "__keep",
-        F.col("__ndocs").cast("double")
-        <= F.col("__total").cast("double") * F.lit(float(max_df_ratio)),
-    )
-    s = F.struct(F.col("pos"), F.col("w"))
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(F.col("__keep"), s))
-                    ),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("text_filtered"),
-            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
+    # Exactly one row always (global agg): empty set -> empty array.
+    bad = (
+        dfreq.crossJoin(F.broadcast(total))
+        .where(
+            F.col("__ndocs").cast("double")
+            > F.col("__total").cast("double") * F.lit(float(max_df_ratio))
         )
+        .agg(F.collect_set("w").alias("__bad"))
+    )
+    toks = df.crossJoin(F.broadcast(bad)).select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), " "),
+            lambda x: ~F.array_contains(F.col("__bad"), x),
+        ).alias("__kept"),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_join(F.col("__kept"), " ").alias("text_filtered"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
     )
 
 

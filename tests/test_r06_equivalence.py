@@ -179,6 +179,57 @@ def test_decontaminate_postjoin_distinct_matches_prejoin_distinct(spark):
     assert new.count() > 0  # the fixture actually collides
 
 
+def test_remove_high_df_tokens_matches_reassembly_reference(spark):
+    """The broadcast-bad-set array filter must reproduce the old
+    token-level join + array_sort(collect_list(struct)) reassembly row
+    for row on random corpora, including boundary-DF tokens, repeated
+    tokens, and a ratio that empties some documents."""
+    from cardinalhq_otel_collector_spark.operators.textstats import (
+        remove_high_df_tokens,
+    )
+
+    random.seed(41)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(random.choice(vocab) for _ in range(random.randrange(1, 15))))
+        for i in range(60)
+    ]
+    rows.append((60, "w0"))  # single-token doc; may come out empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for ratio in (0.3, 0.78):
+        new = remove_high_df_tokens(df, max_df_ratio=ratio)
+
+        words = df.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+        )
+        dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("nd"))
+        total = df.select(F.count(F.lit(1)).alias("tot"))
+        kept = (
+            words.join(F.broadcast(dfreq), "w")
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                "keep",
+                F.col("nd").cast("double")
+                <= F.col("tot").cast("double") * F.lit(float(ratio)),
+            )
+        )
+        s = F.struct(F.col("pos"), F.col("w"))
+        old = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(F.col("keep"), s))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("text_filtered"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+        cols = ["doc_id", "text_filtered", "n_kept", "n_removed"]
+        assert _rows(new, cols) == _rows(old, cols), f"ratio={ratio}"
+
+
 def test_projection_chain_dot_bitwise_matches_decimal_sum_agg(spark):
     """The decimal chain sum behind every round-6 dot product / norm must
     be BIT-identical to the decimal SUM aggregate it replaced."""
