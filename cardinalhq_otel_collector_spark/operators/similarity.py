@@ -437,26 +437,26 @@ def ivf_topk(
         .select("qid", id_col)
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    pos = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i")
-    joined = (
-        cands.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qv), "qid")
-        .select("qid", "qe", id_col, vec_col, pos)
+    # Round-6 rerank: projection-level chain dots (bit-identical to the
+    # decimal SUM aggregate they replace — see the module header and
+    # test_projection_chain_dot_bitwise_matches_decimal_sum_agg), with
+    # the corpus norm computed once per corpus row BEFORE the candidate
+    # join and the query norm riding on the broadcast side. Replaces the
+    # dim-fold position explode + dot aggregate + two norm joins.
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        _nrm2_col(vec_col, dim).cast("double").alias("qn"),
     )
-    prods = joined.withColumn(
-        "p",
-        (
-            F.element_at(F.col("qe"), F.col("i")).cast("double")
-            * F.element_at(F.col(vec_col), F.col("i")).cast("double")
-        ).cast("decimal(38,18)"),
+    nc = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nrm2_col(vec_col, dim).cast("double").alias("nrm2"),
     )
-    dots = prods.groupBy("qid", id_col).agg(F.sum("p").cast("double").alias("dot"))
-    nq = norms(queries, vec_col, id_col, dim).withColumnRenamed(id_col, "qid").withColumnRenamed("nrm2", "qn")
-    nc = norms(corpus, vec_col, id_col, dim)
     scored = (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nc, id_col)
+        cands.join(nc, id_col)
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dot", _dot_col("qe", vec_col, dim).cast("double"))
         .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm2")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
